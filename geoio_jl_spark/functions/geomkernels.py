@@ -1,0 +1,106 @@
+"""Vectorized geometry predicates/measures — the engine's "exact refine" layer.
+
+The coarse stage of every spatial join is a cell equi-join that Catalyst
+executes natively; these numpy kernels run *after* it, inside Arrow-batched
+pandas UDFs, to compute the exact predicate (the role the reference delegates
+to Meshes.jl geometry code after its R-tree lookup, gpkg.jl:411-448).
+
+Point-in-polygon is boundary-inclusive even-odd ray casting. With vertices
+on the engine's centidegree integer lattice all products stay < 2**31 so the
+float64 arithmetic is exact — the kernel then agrees bit-for-bit with the
+integer sign tests used in oracle SQL (dialect.point_in_triangle_sql).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geoio_jl_spark.functions import wkb as W
+
+
+def _ring_contains(px: np.ndarray, py: np.ndarray, ring: np.ndarray):
+    """Even-odd crossings + boundary flags for many points vs one ring.
+
+    Returns (inside, on_boundary) boolean arrays. Half-open rule
+    [ymin, ymax) for crossings; boundary = point on any edge segment.
+    """
+    x1, y1 = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    px_ = px[:, None]
+    py_ = py[:, None]
+    # boundary: cross == 0 and within segment bbox
+    cross = (x2 - x1) * (py_ - y1) - (y2 - y1) * (px_ - x1)
+    on_seg = (
+        (cross == 0)
+        & (px_ >= np.minimum(x1, x2)) & (px_ <= np.maximum(x1, x2))
+        & (py_ >= np.minimum(y1, y2)) & (py_ <= np.maximum(y1, y2))
+    )
+    on_boundary = on_seg.any(axis=1)
+    # crossings: edge straddles the horizontal ray (half-open in y)
+    straddle = (y1 <= py_) != (y2 <= py_)
+    # x of intersection > px  (safe: y2 != y1 where straddle)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1 + (py_ - y1) * (x2 - x1) / np.where(y2 == y1, 1.0, y2 - y1)
+    crossings = (straddle & (xint > px_)).sum(axis=1)
+    return (crossings % 2 == 1), on_boundary
+
+
+def _close_ring(ring: np.ndarray) -> np.ndarray:
+    if len(ring) and not np.array_equal(ring[0], ring[-1]):
+        return np.vstack([ring, ring[:1]])
+    return ring
+
+
+def points_in_geom(px: np.ndarray, py: np.ndarray, g: W.Geom) -> np.ndarray:
+    """Boundary-inclusive containment of many points in one polygon /
+    multipolygon geometry."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    if g.kind == W.POLYGON:
+        return _poly_contains(px, py, g, 0, len(g.rings) - 1)
+    if g.kind == W.MULTIPOLYGON:
+        out = np.zeros(len(px), dtype=bool)
+        parts = g.parts if g.parts else [0, len(g.rings) - 1]
+        for pi in range(len(parts) - 1):
+            out |= _poly_contains(px, py, g, parts[pi], parts[pi + 1])
+        return out
+    if g.kind == W.GEOMETRYCOLLECTION:
+        out = np.zeros(len(px), dtype=bool)
+        for c in g.geoms:
+            if c.kind in (W.POLYGON, W.MULTIPOLYGON):
+                out |= points_in_geom(px, py, c)
+        return out
+    raise ValueError(f"containment undefined for kind {g.kind}")
+
+
+def _poly_contains(px, py, g: W.Geom, r0: int, r1: int) -> np.ndarray:
+    exterior = _close_ring(g.coords[g.rings[r0]:g.rings[r0 + 1], :2])
+    inside, on_b = _ring_contains(px, py, exterior)
+    result = inside | on_b
+    for ri in range(r0 + 1, r1):  # holes: inside hole (not on its edge) → out
+        hole = _close_ring(g.coords[g.rings[ri]:g.rings[ri + 1], :2])
+        h_in, h_on = _ring_contains(px, py, hole)
+        result &= ~(h_in & ~h_on)
+    return result
+
+
+def points_in_wkb_batch(px, py, wkb_bytes: bytes) -> np.ndarray:
+    """Decode one polygon WKB and test a batch of points against it."""
+    return points_in_geom(np.asarray(px), np.asarray(py),
+                          W.decode_wkb(bytes(wkb_bytes)))
+
+
+def triangle_normal(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Unit facet normal (STL writer semantics, stl.jl:106,137)."""
+    n = np.cross(b - a, c - a)
+    norm = np.linalg.norm(n)
+    return n / norm if norm else n
+
+
+def affine_from_grid(v11: np.ndarray, v21: np.ndarray, v12: np.ndarray):
+    """Recover (A, b) of the grid affine from 3 vertices — the closed form
+    of geotiff.jl:152-199: b = v(1,1); A columns = v(2,1)-b, v(1,2)-b."""
+    b = np.asarray(v11, dtype=np.float64)
+    a1 = np.asarray(v21, dtype=np.float64) - b
+    a2 = np.asarray(v12, dtype=np.float64) - b
+    return np.column_stack([a1, a2]), b

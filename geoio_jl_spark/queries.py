@@ -1,0 +1,711 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+Each entry exercises an operator from SURVEY.md §2 over the driver's
+read-only parquet tables.  Geo columns are *derived* from integer ids with
+the shared formulas in ``dialect`` (the DuckDB oracle only sees the ten
+pre-registered views), so every comparison is exact:
+
+- integer arithmetic end-to-end for coordinates / cells / distances,
+- identical-order IEEE double ops where doubles are unavoidable,
+- ``floor(x * 1e6)`` bigints for summed doubles (order-independent).
+
+Column names are aliased identically on both sides (driver hashes sort
+columns by name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from geoio_jl_spark import dialect as D
+from geoio_jl_spark.operators import knn as KNN
+from geoio_jl_spark.operators import sjoin as SJ
+
+LON = D.LON_I.format(id="doc_id")
+LAT = D.LAT_I.format(id="doc_id")
+LON_SKEW = D.LON_I_SKEW.format(id="doc_id")
+LAT_SKEW = D.LAT_I_SKEW.format(id="doc_id")
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_points(spark, sf_dir, skew: bool = False) -> DataFrame:
+    lon, lat = (LON_SKEW, LAT_SKEW) if skew else (LON, LAT)
+    return (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(lon).alias("lon_i"), F.expr(lat).alias("lat_i"))
+    )
+
+
+def _triangles(spark, sf_dir) -> DataFrame:
+    """Polygon side derived from nation (dialect.TRIANGLES_SQL) + bbox."""
+    nation = _read(spark, sf_dir, "nation")
+    t = nation.select(
+        F.col("n_nationkey").cast("bigint").alias("poly_id"),
+        F.expr(f"{D.TRI_CX} - {D.TRI_W}").cast("bigint").alias("ax"),
+        F.expr(f"{D.TRI_CY} - {D.TRI_H}").cast("bigint").alias("ay"),
+        F.expr(f"{D.TRI_CX} + {D.TRI_W}").cast("bigint").alias("bx"),
+        F.expr(f"{D.TRI_CY} - {D.TRI_H}").cast("bigint").alias("by"),
+        F.expr(D.TRI_CX).cast("bigint").alias("cx"),
+        F.expr(f"{D.TRI_CY} + {D.TRI_H}").cast("bigint").alias("cy"),
+    )
+    return t.select(
+        "*",
+        F.least("ax", "bx", "cx").alias("minx"),
+        F.least("ay", "by", "cy").alias("miny"),
+        F.greatest("ax", "bx", "cx").alias("maxx"),
+        F.greatest("ay", "by", "cy").alias("maxy"),
+    )
+
+
+_PIT = D.point_in_triangle_sql("lon_i", "lat_i")
+
+_ORACLE_DOCS = f"SELECT doc_id, {LON} AS lon_i, {LAT} AS lat_i FROM documents"
+_ORACLE_DOCS_SKEW = (
+    f"SELECT doc_id, {LON_SKEW} AS lon_i, {LAT_SKEW} AS lat_i FROM documents"
+)
+_ORACLE_TRI = (
+    D.TRIANGLES_SQL
+    + ""  # bbox columns appended below
+)
+_ORACLE_TRI_BBOX = (
+    "SELECT *, least(ax, bx, cx) AS minx, least(ay, by, cy) AS miny, "
+    "greatest(ax, bx, cx) AS maxx, greatest(ay, by, cy) AS maxy "
+    f"FROM ({D.TRIANGLES_SQL})"
+)
+
+
+def _sign_test_refine(joined: DataFrame) -> DataFrame:
+    """Exact refine as pure int64 column arithmetic (no Python)."""
+    return joined.filter(F.expr(_PIT))
+
+
+# ---------------------------------------------------------------------------
+# Q: flagship point-in-polygon count (coarse cell equi-join + exact refine)
+# ---------------------------------------------------------------------------
+
+def q_pip_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _docs_points(spark, sf_dir)
+    polys = _triangles(spark, sf_dir)
+    pairs = SJ.point_in_polygon_join(
+        pts, polys, res=3, wkb_col=None, refine=_sign_test_refine,
+        broadcast_polygons=True,
+    )
+    return (
+        pairs.groupBy("poly_id").agg(F.count("*").alias("n_docs"))
+        .select("poly_id", "n_docs")
+    )
+
+
+SQL_PIP_COUNT = f"""
+WITH d AS ({_ORACLE_DOCS}), t AS ({D.TRIANGLES_SQL})
+SELECT poly_id, count(*) AS n_docs
+FROM d JOIN t ON {D.point_in_triangle_sql('d.lon_i', 'd.lat_i')}
+GROUP BY poly_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: skewed pairs through the explicitly salted join (BASELINE.json:14)
+# ---------------------------------------------------------------------------
+
+def q_pip_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _docs_points(spark, sf_dir, skew=True)
+    polys = _triangles(spark, sf_dir)
+    pairs = SJ.salted_point_in_polygon_join(
+        pts, polys, res=3, point_id="doc_id", wkb_col=None,
+        hot_threshold=20, refine=_sign_test_refine,
+    )
+    return pairs.select("doc_id", "poly_id")
+
+
+SQL_PIP_PAIRS_SALTED = f"""
+WITH d AS ({_ORACLE_DOCS_SKEW}), t AS ({D.TRIANGLES_SQL})
+SELECT doc_id, poly_id
+FROM d JOIN t ON {D.point_in_triangle_sql('d.lon_i', 'd.lat_i')}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: kNN join (nation centers → 5 nearest docs)
+# ---------------------------------------------------------------------------
+
+def _query_points(spark, sf_dir) -> DataFrame:
+    return _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("query_id"),
+        F.expr(D.TRI_CX).cast("bigint").alias("qx"),
+        F.expr(D.TRI_CY).cast("bigint").alias("qy"),
+    )
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return KNN.knn_join_window(
+        _docs_points(spark, sf_dir), _query_points(spark, sf_dir), k=5
+    )
+
+
+SQL_KNN = f"""
+WITH d AS ({_ORACLE_DOCS}),
+q AS (SELECT n_nationkey AS query_id, {D.TRI_CX} AS qx, {D.TRI_CY} AS qy FROM nation),
+c AS (
+  SELECT q.query_id, d.doc_id,
+         (d.lon_i - q.qx) * (d.lon_i - q.qx) + (d.lat_i - q.qy) * (d.lat_i - q.qy) AS dist2
+  FROM d CROSS JOIN q
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, doc_id ASC) AS rank
+  FROM c
+)
+SELECT query_id, doc_id, dist2, rank FROM r WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: bbox range join (point-in-bbox via cell equi-join)
+# ---------------------------------------------------------------------------
+
+def q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _docs_points(spark, sf_dir)
+    boxes = _triangles(spark, sf_dir).select("poly_id", "minx", "miny", "maxx", "maxy")
+    pairs = SJ.bbox_range_join(pts, boxes, res=3)
+    return pairs.groupBy("poly_id").agg(F.count("*").alias("n_in_bbox"))
+
+
+SQL_BBOX_JOIN = f"""
+WITH d AS ({_ORACLE_DOCS}), t AS ({_ORACLE_TRI_BBOX})
+SELECT poly_id, count(*) AS n_in_bbox
+FROM d JOIN t ON d.lon_i >= t.minx AND d.lon_i <= t.maxx
+             AND d.lat_i >= t.miny AND d.lat_i <= t.maxy
+GROUP BY poly_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: extent aggregation (A1, gpkg.jl:522-534) + per-cell doc counts (tiling)
+# ---------------------------------------------------------------------------
+
+def q_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs_points(spark, sf_dir).agg(
+        F.min("lon_i").alias("minx"), F.min("lat_i").alias("miny"),
+        F.max("lon_i").alias("maxx"), F.max("lat_i").alias("maxy"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+SQL_EXTENT = f"""
+SELECT min(lon_i) AS minx, min(lat_i) AS miny,
+       max(lon_i) AS maxx, max(lat_i) AS maxy, count(*) AS n_rows
+FROM ({_ORACLE_DOCS})
+"""
+
+
+def q_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cid = D.cell_id_sql("lon_i", "lat_i", 3)
+    return (
+        _docs_points(spark, sf_dir)
+        .select(F.expr(cid).alias("cell_id"))
+        .groupBy("cell_id").agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_CELL_COUNTS = f"""
+SELECT {D.cell_id_sql('lon_i', 'lat_i', 3)} AS cell_id, count(*) AS n_docs
+FROM ({_ORACLE_DOCS})
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: missing-geometry filter / anti-filter (P3/P4, gis.jl:76-88,
+#    loadvalues rows=:invalid load.jl:206-210) — NULLs planted by formula
+# ---------------------------------------------------------------------------
+
+_LON_NULLABLE = f"(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE {LON} END)"
+
+
+def q_valid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "lon_i", F.expr(_LON_NULLABLE)
+    )
+    return (
+        docs.filter(F.col("lon_i").isNotNull())
+        .groupBy("lang").agg(F.count("*").alias("n_valid"))
+    )
+
+
+SQL_VALID_COUNTS = f"""
+SELECT lang, count(*) AS n_valid
+FROM (SELECT lang, {_LON_NULLABLE} AS lon_i FROM documents)
+WHERE lon_i IS NOT NULL GROUP BY lang
+"""
+
+
+def q_invalid_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "lon_i", F.expr(_LON_NULLABLE)
+    )
+    return docs.filter(F.col("lon_i").isNull()).select("doc_id", "lang")
+
+
+SQL_INVALID_ROWS = f"""
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang, {_LON_NULLABLE} AS lon_i FROM documents)
+WHERE lon_i IS NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: centroid (F17, csv.jl:40) — exact integer vertex sums + double mean
+# ---------------------------------------------------------------------------
+
+def q_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _triangles(spark, sf_dir)
+    return t.select(
+        "poly_id",
+        (F.col("ax") + F.col("bx") + F.col("cx")).alias("sx"),
+        (F.col("ay") + F.col("by") + F.col("cy")).alias("sy"),
+        ((F.col("ax") + F.col("bx") + F.col("cx")) / F.lit(3.0)).alias("centroid_x"),
+        ((F.col("ay") + F.col("by") + F.col("cy")) / F.lit(3.0)).alias("centroid_y"),
+    )
+
+
+SQL_CENTROID = f"""
+SELECT poly_id, ax + bx + cx AS sx, ay + by + cy AS sy,
+       (ax + bx + cx) / 3.0 AS centroid_x, (ay + by + cy) / 3.0 AS centroid_y
+FROM ({D.TRIANGLES_SQL})
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: raster→vector tile assignment — implicit grid (spark.range, §1.3)
+#    joined to polygon bboxes by overlap
+# ---------------------------------------------------------------------------
+
+_NTX, _NTY, _TILE = 72, 34, 500  # 72x34 tiles of 500 centidegrees
+
+
+def q_grid_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = spark.range(_NTX * _NTY).select(
+        F.col("id").alias("tile_id"),
+        (F.col("id") % _NTX * _TILE).alias("tx0"),
+        (F.floor(F.col("id") / F.lit(float(_NTX))).cast("bigint") * _TILE).alias("ty0"),
+    )
+    boxes = _triangles(spark, sf_dir).select("poly_id", "minx", "miny", "maxx", "maxy")
+    return (
+        grid.join(
+            F.broadcast(boxes),
+            (F.col("tx0") <= F.col("maxx")) & (F.col("tx0") + _TILE > F.col("minx"))
+            & (F.col("ty0") <= F.col("maxy")) & (F.col("ty0") + _TILE > F.col("miny")),
+        )
+        .select("tile_id", "poly_id")
+    )
+
+
+SQL_GRID_TILES = f"""
+WITH g AS (
+  SELECT range AS tile_id, (range % {_NTX}) * {_TILE} AS tx0,
+         CAST(floor(range / {_NTX}.0) AS BIGINT) * {_TILE} AS ty0
+  FROM range({_NTX * _NTY})
+), t AS ({_ORACLE_TRI_BBOX})
+SELECT tile_id, poly_id
+FROM g JOIN t ON g.tx0 <= t.maxx AND g.tx0 + {_TILE} > t.minx
+             AND g.ty0 <= t.maxy AND g.ty0 + {_TILE} > t.miny
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: text analysis over documents — token stats, lang-id, quality,
+#    fingerprints (training-data-pipeline ops)
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.expr(D.tokens_sql("text", "spark"))
+    return (
+        docs.select("lang", F.size(toks).alias("n_tok"), F.length("text").alias("n_chr"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_chr").alias("total_chars"),
+            F.min("n_tok").alias("min_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+        )
+    )
+
+
+SQL_TOKEN_STATS = f"""
+SELECT lang, count(*) AS n_docs,
+       sum(n_tok) AS total_tokens, sum(n_chr) AS total_chars,
+       min(n_tok) AS min_tokens, max(n_tok) AS max_tokens
+FROM (SELECT lang, len({D.tokens_sql('text', 'duckdb')}) AS n_tok,
+             length(text) AS n_chr FROM documents)
+GROUP BY lang
+"""
+
+
+_LANG_ORDER = ["en", "de", "fr", "es", "pt"]
+
+
+def _langid_body(dialect_name: str, table: str) -> str:
+    """Stopword-hit language heuristic: per-language scores, argmax with
+    deterministic tie-break (list order), 'und' when all-zero."""
+    from geoio_jl_spark.functions.textkernels import STOPWORDS
+    toks = D.tokens_sql("text", dialect_name)
+    fn = "size" if dialect_name == "spark" else "len"
+    flt = "filter" if dialect_name == "spark" else "list_filter"
+    score_cols = ", ".join(
+        f"{fn}({flt}({toks}, x -> x IN ("
+        + ", ".join(f"'{w}'" for w in STOPWORDS[lg])
+        + f"))) AS s_{lg}"
+        for lg in _LANG_ORDER
+    )
+    greatest = "greatest(" + ", ".join(f"s_{lg}" for lg in _LANG_ORDER) + ")"
+    best = " ".join(f"WHEN s_{lg} = m THEN '{lg}'" for lg in _LANG_ORDER)
+    return f"""
+        SELECT lang, pred_lang, count(*) AS n
+        FROM (
+          SELECT lang, CASE WHEN m = 0 THEN 'und' {best} END AS pred_lang
+          FROM (SELECT *, {greatest} AS m FROM
+                 (SELECT lang, {score_cols} FROM {table}) scored) withm
+        ) labeled GROUP BY lang, pred_lang
+    """
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_docs_langid")
+    return spark.sql(_langid_body("spark", "_docs_langid"))
+
+
+def _sql_langid_confusion() -> str:
+    return _langid_body("duckdb", "documents")
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoio_jl_spark.functions.textkernels import quality_columns
+    docs = _read(spark, sf_dir, "documents")
+    cols = quality_columns(F.col("text"))
+    return docs.select(
+        "doc_id", *(c.alias(n) for n, c in cols.items())
+    )
+
+
+SQL_QUALITY = f"""
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  length(text)::BIGINT AS n_chars,
+  (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::BIGINT AS n_punct,
+  CAST(list_reduce(list_prepend(0, list_transform(toks, x -> length(x)::BIGINT)), (a, b) -> a + b) AS DOUBLE)
+    / CAST(greatest(len(toks), 1) AS DOUBLE) AS avg_word_len,
+  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to'))) AS DOUBLE)
+    / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio
+FROM (SELECT doc_id, text, {D.tokens_sql('text', 'duckdb')} AS toks FROM documents)
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.expr(D.md5_int60("text", "spark")).alias("fp")
+    )
+
+
+SQL_FINGERPRINT = (
+    f"SELECT doc_id, {D.md5_int60('text', 'duckdb')} AS fp FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# Q: deduplication family
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def _shingles_spark() -> str:
+    toks = D.tokens_sql("text", "spark")
+    return (
+        f"transform(sequence(1, greatest(size({toks}) - 2, 0)), "
+        f"i -> concat_ws(' ', element_at({toks}, i), "
+        f"element_at({toks}, i + 1), element_at({toks}, i + 2)))"
+    )
+
+
+def _shingles_duckdb() -> str:
+    toks = D.tokens_sql("text", "duckdb")
+    return (
+        f"list_transform(generate_series(1, greatest(len({toks}) - 2, 0)), "
+        f"i -> concat({toks}[i], ' ', {toks}[i + 1], ' ', {toks}[i + 2]))"
+    )
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + LSH banding → candidate pairs.
+
+    shingle → md5-int hash → 16 universal-hash mins → 4 bands of 4 →
+    pairs sharing any band signature."""
+    docs = _read(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.expr(_shingles_spark())).alias("sh")
+    ).withColumn(
+        "h", F.expr(D.md5_int60("sh", "spark")) % F.lit(D.MINHASH_P)
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(D.MINHASH_P)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(D.MINHASH_SEEDS)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    nr = len(D.MINHASH_SEEDS) // D.MINHASH_BANDS
+    bands = []
+    for b in range(D.MINHASH_BANDS):
+        cols = [f"mh{b * nr + r}" for r in range(nr)]
+        bands.append(
+            sig.select(
+                "doc_id", F.lit(b).alias("band"),
+                F.concat_ws("_", *cols).alias("sig"),
+            )
+        )
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionAll(b)
+    left = allb.alias("l")
+    right = allb.alias("r")
+    return (
+        left.join(right, ["band", "sig"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _sql_minhash_lsh() -> str:
+    nr = len(D.MINHASH_SEEDS) // D.MINHASH_BANDS
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {D.MINHASH_P}) AS mh{j}"
+        for j, (a, b) in enumerate(D.MINHASH_SEEDS)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS sig FROM sig".format(
+            b=b, cols=", ".join(f"mh{b * nr + r}" for r in range(nr))
+        )
+        for b in range(D.MINHASH_BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {D.md5_int60('s.sh', 'duckdb')} % {D.MINHASH_P} AS h
+  FROM (SELECT doc_id, unnest({_shingles_duckdb()}) AS sh FROM documents) s
+), sig AS (
+  SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+), bands AS ({band_selects})
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig
+WHERE l.doc_id < r.doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup: distinct-shingle inverted index →
+    pairs sharing >= 2 shingles, with exact intersection / union sizes."""
+    docs = _read(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", F.explode(F.expr(_shingles_spark())).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        sh.alias("l").join(sh.alias("r"), "sh")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+        .filter(F.col("inter") >= 2)
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "nb"), "doc_b")
+        .select(
+            "doc_a", "doc_b", "inter",
+            (F.col("na") + F.col("nb") - F.col("inter")).alias("uni"),
+        )
+    )
+
+
+def _sql_ngram_jaccard() -> str:
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, sh
+  FROM (SELECT doc_id, unnest({_shingles_duckdb()}) AS sh FROM documents)
+), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS inter
+  FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT doc_a, doc_b, inter, sa.n_sh + sb.n_sh - inter AS uni
+FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over token hashes (exact bit arithmetic both engines)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = D.tokens_sql("text", "spark")
+    exploded = docs.select(
+        "doc_id", F.explode(F.expr(toks)).alias("tok")
+    ).select("doc_id", F.expr(D.md5_int60("tok", "spark")).alias("h"))
+    bits = exploded.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"), "h"
+    ).select(
+        "doc_id", "bit",
+        F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END").alias("w"),
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(F.sum("w").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) "
+                   "ELSE CAST(0 AS BIGINT) END")
+        ).alias("simhash")
+    )
+
+
+def _sql_simhash() -> str:
+    toks = D.tokens_sql("text", "duckdb")
+    h = D.md5_int60("tok", "duckdb")
+    return f"""
+WITH tk AS (
+  SELECT doc_id, unnest({toks}) AS tok FROM documents
+), hh AS (SELECT doc_id, {h} AS h FROM tk),
+bits AS (
+  SELECT doc_id, bit,
+         CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS w
+  FROM hh, (SELECT unnest(generate_series(0, 31)) AS bit)
+), votes AS (SELECT doc_id, bit, sum(w) AS v FROM bits GROUP BY 1, 2)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: similarity search — brute-force cosine top-k over embeddings
+#    (left-fold double arithmetic: bit-identical across engines)
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cand = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    dot = F.expr(_DOT.format(a="embedding", b="qe"))
+    na = F.expr(_DOT.format(a="embedding", b="embedding"))
+    nb = F.expr(_DOT.format(a="qe", b="qe"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("cos", dot / (F.sqrt(na) * F.sqrt(nb)))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def _sql_cosine_topk() -> str:
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(generate_series(1, len({a})), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+c AS (
+  SELECT q.query_id, e.vec_id,
+         {dot.format(a='e.embedding', b='q.qe')}
+         / (sqrt({dot.format(a='e.embedding', b='e.embedding')})
+            * sqrt({dot.format(a='q.qe', b='q.qe')})) AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM c
+)
+SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: events tumbling-window aggregation (batch form; streaming variant in
+#    geoio_jl_spark/streaming)
+# ---------------------------------------------------------------------------
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_timestamp("ts") / 300).cast("bigint")
+    return (
+        ev.withColumn("bucket", bucket)
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000000).cast("bigint")).alias("value_sum_e6"),
+        )
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
+       count(*) AS n_events,
+       sum(CAST(floor(value * 1000000) AS BIGINT)) AS value_sum_e6
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def registry() -> dict[str, tuple[Callable, str | None]]:
+    return {
+        "pip_count": (q_pip_count, SQL_PIP_COUNT),
+        "pip_pairs_salted": (q_pip_pairs_salted, SQL_PIP_PAIRS_SALTED),
+        "knn_join": (q_knn, SQL_KNN),
+        "bbox_range_join": (q_bbox_join, SQL_BBOX_JOIN),
+        "extent": (q_extent, SQL_EXTENT),
+        "cell_counts": (q_cell_counts, SQL_CELL_COUNTS),
+        "valid_counts": (q_valid_counts, SQL_VALID_COUNTS),
+        "invalid_rows": (q_invalid_rows, SQL_INVALID_ROWS),
+        "centroid": (q_centroid, SQL_CENTROID),
+        "grid_tiles": (q_grid_tiles, SQL_GRID_TILES),
+        "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+        "langid_confusion": (q_langid_confusion, _sql_langid_confusion()),
+        "quality_score": (q_quality, SQL_QUALITY),
+        "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+        "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+        "minhash_lsh": (q_minhash_lsh, _sql_minhash_lsh()),
+        "ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard()),
+        "simhash": (q_simhash, _sql_simhash()),
+        "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
+        "events_window": (q_events_window, SQL_EVENTS_WINDOW),
+    }
