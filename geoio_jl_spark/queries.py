@@ -472,18 +472,16 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
     nr = len(D.MINHASH_SEEDS) // D.MINHASH_BANDS
-    bands = []
-    for b in range(D.MINHASH_BANDS):
-        cols = [f"mh{b * nr + r}" for r in range(nr)]
-        bands.append(
-            sig.select(
-                "doc_id", F.lit(b).alias("band"),
-                F.concat_ws("_", *cols).alias("sig"),
-            )
-        )
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionAll(b)
+    # one pass: posexplode an array of per-band signatures (vs a 4-way
+    # union that would recompute the signature pipeline per band)
+    band_arr = F.array(*[
+        F.concat_ws("_", *[f"mh{b * nr + r}" for r in range(nr)])
+        for b in range(D.MINHASH_BANDS)
+    ])
+    allb = sig.select(
+        "doc_id", F.posexplode(band_arr).alias("band", "sig")
+    ).persist()
+    allb.count()  # materialize once; both join sides reuse it
     left = allb.alias("l")
     right = allb.alias("r")
     return (
@@ -526,6 +524,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         docs.select("doc_id", F.explode(F.expr(_shingles_spark())).alias("sh"))
         .distinct()
+        .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pairs = (
