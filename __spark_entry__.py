@@ -26,11 +26,21 @@ from geoio_jl_spark import queries as Q  # noqa: E402
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-in-polygon join (cell equi-join + exact refine) →
     docs per polygon, on /root/testdata/sf0.001."""
+    from geoio_jl_spark.shipping import ensure_pyfiles
+    ensure_pyfiles(spark)
     return Q.q_pip_count(spark, "/root/testdata/sf0.001")
 
 
+def _wrap(fn: Callable) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from geoio_jl_spark.shipping import ensure_pyfiles
+        ensure_pyfiles(spark)  # workers import the package via addPyFile
+        return fn(spark, sf_dir)
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _sql) in Q.registry().items()}
+    return {name: _wrap(fn) for name, (fn, _sql) in Q.registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -90,6 +90,8 @@ def _page_batch(ids: np.ndarray, skew: bool) -> pd.DataFrame:
 def webpages(spark: SparkSession, n: int, skew: bool = False,
              partitions: int | None = None) -> DataFrame:
     """Distributed generation of the Common-Crawl-style table."""
+    from geoio_jl_spark.shipping import ensure_pyfiles
+    ensure_pyfiles(spark)
     rng = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
 
     def gen(batches):

@@ -44,7 +44,9 @@ def knn_join_partial(points: DataFrame, queries: DataFrame, k: int,
                      qid: str = "query_id", qx: str = "qx", qy: str = "qy",
                      point_id: str = "doc_id") -> DataFrame:
     """Map-side local top-k, then global merge (scale path)."""
+    from geoio_jl_spark.shipping import ensure_pyfiles
     spark = points.sparkSession
+    ensure_pyfiles(spark)
     qrows = queries.select(qid, qx, qy).collect()  # query side is small by contract
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     q_x = np.array([r[1] for r in qrows], dtype=np.int64)

@@ -71,7 +71,9 @@ def refine_with_wkb(joined: DataFrame, px: str, py: str,
 
     from geoio_jl_spark.functions import wkb as W
     from geoio_jl_spark.functions.geomkernels import points_in_geom
+    from geoio_jl_spark.shipping import ensure_pyfiles
 
+    ensure_pyfiles(joined.sparkSession)
     schema = joined.schema
 
     def gen(batches):

@@ -1,0 +1,115 @@
+"""CRS transforms (closure + anchors) and implicit-grid raster operators."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geoio_jl_spark.functions import crs as C
+from geoio_jl_spark.functions import wkb as W
+from geoio_jl_spark.operators import raster as R
+
+
+def test_webmercator_anchor_values():
+    # known anchors (role of the reference's GDAL differential tests)
+    x, y = C._lonlat_to_webmerc(np.array([0.0, 180.0]), np.array([0.0, 0.0]))
+    assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-9
+    assert abs(x[1] - 20037508.342789244) < 1e-6
+    x, y = C._lonlat_to_webmerc(np.array([0.0]), np.array([45.0]))
+    assert abs(y[0] - 5621521.486192066) < 1e-4
+
+
+def test_transform_roundtrip_closure():
+    rng = np.random.RandomState(7)
+    lon = rng.uniform(-179, 179, 1000)
+    lat = rng.uniform(-84, 84, 1000)
+    x, y = C.get_transform("EPSG:4326", "EPSG:3857")(lon, lat)
+    lon2, lat2 = C.get_transform("EPSG:3857", "EPSG:4326")(x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def test_unknown_transform_raises():
+    with pytest.raises(ValueError, match="no transform"):
+        C.get_transform("EPSG:4326", "EPSG:9999")
+
+
+def test_column_exprs_match_numpy(spark):
+    pdf = pd.DataFrame({"lon": [-120.3, 0.0, 45.7], "lat": [33.9, 0.0, -71.2]})
+    df = spark.createDataFrame(pdf)
+    x, y = C.lonlat_to_webmercator_cols(F.col("lon"), F.col("lat"))
+    rows = df.select(x.alias("x"), y.alias("y")).collect()
+    ex, ey = C._lonlat_to_webmerc(pdf["lon"].values, pdf["lat"].values)
+    # JVM and numpy trig differ in the last ulp (tan(pi/4)): atol covers 0
+    np.testing.assert_allclose([r["x"] for r in rows], ex, rtol=1e-12, atol=1e-6)
+    np.testing.assert_allclose([r["y"] for r in rows], ey, rtol=1e-9, atol=1e-6)
+
+
+def test_transform_wkb_udf(spark):
+    pdf = pd.DataFrame({
+        "geometry": [W.encode_wkb(W.polygon([(0, 0), (10, 0), (5, 8), (0, 0)]))]
+    })
+    df = spark.createDataFrame(pdf)
+    out = df.withColumn(
+        "g2", C.transform_wkb_udf("EPSG:4326", "EPSG:3857")(F.col("geometry")))
+    g2 = W.decode_wkb(bytes(out.collect()[0]["g2"]))
+    ex, ey = C._lonlat_to_webmerc(np.array([0.0, 10.0, 5.0]), np.array([0.0, 0.0, 8.0]))
+    np.testing.assert_allclose(g2.coords[:3, 0], ex)
+    np.testing.assert_allclose(g2.coords[:3, 1], ey)
+
+
+def test_grid_cells_affine(spark):
+    spec = R.GridSpec(nx=4, ny=3, A=((0.5, 0.0), (0.0, -0.25)), b=(100.0, 200.0))
+    rows = {r["cell_id"]: r for r in R.grid_cells(spark, spec).collect()}
+    assert len(rows) == 12
+    r5 = rows[5]  # i=1, j=1
+    assert (r5["i"], r5["j"]) == (1, 1)
+    assert r5["x"] == 100.5 and r5["y"] == 199.75
+
+
+def test_rectilinear_cells(spark):
+    df = R.rectilinear_cells(spark, xs=[0.0, 1.0, 4.0], ys=[10.0, 20.0])
+    rows = sorted((r["i"], r["j"], r["x"], r["y"]) for r in df.collect())
+    assert len(rows) == 6
+    assert rows[-1] == (2, 1, 4.0, 20.0)
+
+
+def test_mask_and_fill_roundtrip(spark):
+    spec = R.GridSpec(nx=8, ny=8)
+    grid = R.grid_cells(spark, spec).withColumn(
+        "val", F.col("cell_id").cast("double")
+    ).withColumn(
+        "mask", F.when((F.col("i") >= 2) & (F.col("i") < 6)
+                       & (F.col("j") >= 2) & (F.col("j") < 6), 1)
+        .otherwise(0).cast("tinyint"))
+    sub = R.apply_mask(grid)  # P6: mask view
+    assert sub.count() == 16
+    assert "mask" not in sub.columns
+    # K12 semantics: back to parent grid with NaN-fill + mask
+    filled = R.fill_to_parent(sub, spark, spec, ["val"])
+    assert filled.count() == 64
+    back = filled.filter(F.col("mask") == 1)
+    assert back.count() == 16
+    nans = filled.filter(F.col("mask") == 0).filter(F.isnan("val")).count()
+    assert nans == 48
+
+
+def test_raster_to_vector_tiles(spark):
+    spec = R.GridSpec(nx=10, ny=10, A=((10.0, 0.0), (0.0, 10.0)), b=(0.0, 0.0))
+    grid = R.grid_cells(spark, spec)
+    polys = spark.createDataFrame(pd.DataFrame({
+        "poly_id": [0], "minx": [25.0], "miny": [25.0],
+        "maxx": [44.0], "maxy": [34.0],
+    }))
+    out = R.raster_to_vector_tiles(grid, polys, tile_w=10.0, tile_h=10.0)
+    # x in {20,30,40}, y in {20,30} -> 6 tiles
+    assert out.count() == 6
+
+
+def test_degenerate_axes(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "a": [1.0, 1.0, 1.0], "b": [1.0, 2.0, 3.0], "c": [5, 5, 5],
+    }))
+    assert R.degenerate_axes(df, ["a", "b", "c"]) == ["a", "c"]

@@ -1,0 +1,75 @@
+"""Structured Streaming parity: streaming results must equal the batch
+operator on the same input (availableNow file-source → memory sink)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from geoio_jl_spark import dialect as D
+from geoio_jl_spark.streaming.pipeline import stream_assign_cells, windowed_event_counts
+
+
+def _as_dir(src: str, tmp_path, name: str) -> str:
+    """File-stream sources need a directory; symlink the parquet file in."""
+    import os
+    d = tmp_path / name
+    d.mkdir()
+    os.symlink(src, d / os.path.basename(src))
+    return str(d)
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, tmp_path):
+    events_path = _as_dir(f"{sf_dir}/events.parquet", tmp_path, "events_dir")
+    schema = spark.read.parquet(events_path).schema
+    # parquet timestamps infer as TimestampNTZ; watermarks need TimestampType
+    stream = spark.readStream.schema(schema).parquet(events_path) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windowed_event_counts(stream)
+    q = (
+        out.writeStream.format("memory").queryName("win_counts")
+        .outputMode("complete").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM win_counts").collect()
+    batch = (
+        spark.read.parquet(events_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.floor(F.col("value") * 1000000).cast("bigint"))
+             .alias("value_sum_e6"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "value_sum_e6")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+
+
+def test_stream_assign_cells_stateless(spark, sf_dir, tmp_path):
+    docs_path = _as_dir(f"{sf_dir}/documents.parquet", tmp_path, "docs_dir")
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema).parquet(docs_path)
+        .withColumn("lon_i", F.expr(D.LON_I.format(id="doc_id")))
+        .withColumn("lat_i", F.expr(D.LAT_I.format(id="doc_id")))
+    )
+    celled = stream_assign_cells(stream, res=3)
+    q = (
+        celled.select("doc_id", "cell_id").writeStream.format("memory")
+        .queryName("celled").outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["cell_id"])
+           for r in spark.sql("SELECT * FROM celled").collect()}
+    batch = {
+        (r["doc_id"], r["cell_id"])
+        for r in spark.read.parquet(docs_path)
+        .withColumn("lon_i", F.expr(D.LON_I.format(id="doc_id")))
+        .withColumn("lat_i", F.expr(D.LAT_I.format(id="doc_id")))
+        .withColumn("cell_id", F.expr(D.cell_id_sql("lon_i", "lat_i", 3)))
+        .select("doc_id", "cell_id").collect()
+    }
+    assert got == batch
