@@ -1,0 +1,177 @@
+"""Multimodal (image/audio/video) column operators.
+
+Media travel as opaque ``binary`` columns with typed metadata structs —
+the Spark-side plumbing (schemas, Arrow batching, partition-preserving
+mapInPandas) is real and tested; the codec layer is STUBBED because no
+image/audio libraries exist in this container:
+
+- a deterministic container format ("FKIM"/"FKAU" fake image/audio) lets
+  tests exercise decode → feature-extract → resize end-to-end with exact
+  expected values;
+- real codecs plug in at ``_decode_real`` which raises
+  ``NotImplementedError`` with the intended dependency (PIL / libav),
+  leaving every DataFrame-level contract unchanged.
+
+Schemas:
+  decode_images : binary → struct<width:int, height:int, channels:int,
+                   ok:boolean, err:string>
+  image_features: binary → array<float>  (mean/std/extremes per channel)
+  resize_images : binary → binary        (fake format: subsample pixels)
+  sample_frames : binary → array<binary> (fake video: every k-th frame)
+"""
+
+from __future__ import annotations
+
+import struct as _s
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geoio_jl_spark.shipping import ensure_pyfiles
+
+MAGIC_IMG = b"FKIM"
+MAGIC_AUD = b"FKAU"
+
+
+# ---------------------------------------------------------------------------
+# fake container codecs (deterministic; the STUB layer)
+# ---------------------------------------------------------------------------
+
+def encode_fake_image(width: int, height: int, channels: int = 3,
+                      seed: int = 0) -> bytes:
+    """Deterministic fake image: magic + dims + u8 pixels from arithmetic."""
+    n = width * height * channels
+    idx = np.arange(n, dtype=np.int64)
+    pixels = ((idx * 2654435761 + seed * 97) % 251).astype(np.uint8)
+    return MAGIC_IMG + _s.pack("<HHB", width, height, channels) + pixels.tobytes()
+
+
+def decode_fake_image(buf: bytes) -> np.ndarray:
+    if buf[:4] != MAGIC_IMG:
+        return _decode_real(buf)
+    w, h, c = _s.unpack_from("<HHB", buf, 4)
+    px = np.frombuffer(buf, dtype=np.uint8, offset=9, count=w * h * c)
+    return px.reshape(h, w, c)
+
+
+def _decode_real(buf: bytes):
+    raise NotImplementedError(
+        "real image decode requires PIL/pillow (not in this container); "
+        "plug in here — all Spark-side plumbing is format-agnostic"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark operators (the real plumbing)
+# ---------------------------------------------------------------------------
+
+DECODE_SCHEMA = ("width int, height int, channels int, ok boolean, err string")
+
+
+def decode_images(df: DataFrame, col: str = "image",
+                  out: str = "meta") -> DataFrame:
+    """binary → typed metadata struct (Arrow-batched, null-safe)."""
+    ensure_pyfiles(df.sparkSession)
+
+    @F.pandas_udf(DECODE_SCHEMA)
+    def _decode(blobs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in blobs:
+            if b is None:
+                rows.append((None, None, None, False, "null"))
+                continue
+            try:
+                a = decode_fake_image(bytes(b))
+                rows.append((a.shape[1], a.shape[0], a.shape[2], True, None))
+            except Exception as e:  # noqa: BLE001 — per-row error column
+                rows.append((None, None, None, False, str(e)[:120]))
+        return pd.DataFrame(
+            rows, columns=["width", "height", "channels", "ok", "err"])
+
+    return df.withColumn(out, _decode(F.col(col)))
+
+
+def image_features(df: DataFrame, col: str = "image",
+                   out: str = "features") -> DataFrame:
+    """binary → fixed-length float feature vector (per-channel mean/std/
+    min/max), vectorized numpy per Arrow batch."""
+    ensure_pyfiles(df.sparkSession)
+
+    @F.pandas_udf("array<float>")
+    def _feat(blobs: pd.Series) -> pd.Series:
+        outv = []
+        for b in blobs:
+            if b is None:
+                outv.append(None)
+                continue
+            try:
+                a = decode_fake_image(bytes(b)).astype(np.float64)
+            except Exception:  # undecodable → null (decode_images carries err)
+                outv.append(None)
+                continue
+            per_c = a.reshape(-1, a.shape[2])
+            v = np.concatenate([
+                per_c.mean(axis=0), per_c.std(axis=0),
+                per_c.min(axis=0), per_c.max(axis=0),
+            ]).astype(np.float32)
+            outv.append(v.tolist())
+        return pd.Series(outv)
+
+    return df.withColumn(out, _feat(F.col(col)))
+
+
+def resize_images(df: DataFrame, factor: int, col: str = "image",
+                  out: str = "resized") -> DataFrame:
+    """Subsample every ``factor``-th pixel (nearest-neighbor downscale on
+    the fake format; a real backend would call PIL.resize here)."""
+    ensure_pyfiles(df.sparkSession)
+
+    @F.pandas_udf("binary")
+    def _resize(blobs: pd.Series) -> pd.Series:
+        outv = []
+        for b in blobs:
+            if b is None:
+                outv.append(None)
+                continue
+            try:
+                a = decode_fake_image(bytes(b))
+            except Exception:
+                outv.append(None)
+                continue
+            small = a[::factor, ::factor, :]
+            h, w, c = small.shape
+            outv.append(MAGIC_IMG + _s.pack("<HHB", w, h, c)
+                        + np.ascontiguousarray(small).tobytes())
+        return pd.Series(outv)
+
+    return df.withColumn(out, _resize(F.col(col)))
+
+
+def sample_frames(df: DataFrame, every_k: int, col: str = "video",
+                  out: str = "frames") -> DataFrame:
+    """Fake video = concatenated fake images; emit every k-th frame as its
+    own binary (array<binary>). Real backend: libav/ffmpeg frame seek."""
+    ensure_pyfiles(df.sparkSession)
+
+    @F.pandas_udf("array<binary>")
+    def _sample(blobs: pd.Series) -> pd.Series:
+        outv = []
+        for b in blobs:
+            if b is None:
+                outv.append(None)
+                continue
+            buf = bytes(b)
+            frames, pos, i = [], 0, 0
+            while pos + 9 <= len(buf) and buf[pos:pos + 4] == MAGIC_IMG:
+                w, h, c = _s.unpack_from("<HHB", buf, pos + 4)
+                end = pos + 9 + w * h * c
+                if i % every_k == 0:
+                    frames.append(buf[pos:end])
+                pos = end
+                i += 1
+            outv.append(frames)
+        return pd.Series(outv)
+
+    return df.withColumn(out, _sample(F.col(col)))

@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk`` (in queries.py): broadcast cross join + window — exact,
+  oracle-checked, fine for small query sets.
+- ``cosine_topk_partial``: the 100-TB shape — broadcast query matrix,
+  numpy matmul local top-k per partition (map-side combine), merge the
+  P×Q×k survivors with one tiny shuffle. Same results as the window plan.
+- ``lsh_signature_expr`` / ``ann_candidate_pairs``: random-hyperplane LSH.
+  The hyperplanes are integer-lattice vectors derived by formula, so the
+  signature is reproducible in ANSI SQL (DuckDB oracle) — sign bits of
+  left-fold dot products are bit-exact across engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geoio_jl_spark.shipping import ensure_pyfiles
+
+N_PLANES = 16
+DIM = 64
+
+
+def plane_vector(j: int, dim: int = DIM) -> np.ndarray:
+    """Deterministic integer hyperplane ((j+1)*97 + i*31) % 19 - 9."""
+    i = np.arange(1, dim + 1, dtype=np.int64)
+    return (((j + 1) * 97 + i * 31) % 19 - 9).astype(np.float64)
+
+
+def _dot_plane_sql(emb: str, j: int, dialect: str) -> str:
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({emb}, transform(sequence(1, {DIM}), "
+            f"i -> CAST((({j + 1} * 97 + i * 31) % 19) - 9 AS DOUBLE)), "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
+            f"(acc, x) -> acc + x)"
+        )
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {DIM}), "
+        f"i -> CAST({emb}[i] AS DOUBLE) * CAST((({j + 1} * 97 + i * 31) % 19) - 9 AS DOUBLE))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def lsh_signature_sql(emb: str, dialect: str, n_planes: int = N_PLANES) -> str:
+    """16-bit signature: bit j set iff dot(e, plane_j) >= 0."""
+    terms = [
+        f"(CASE WHEN {_dot_plane_sql(emb, j, dialect)} >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def ann_candidate_pairs(emb_df: DataFrame, id_col: str = "vec_id",
+                        emb_col: str = "embedding") -> DataFrame:
+    """Bucket embeddings by LSH signature; candidate pairs share a bucket.
+    The bucket join is a plain equi-join — Catalyst/AQE territory."""
+    sig = emb_df.select(
+        id_col, F.expr(lsh_signature_sql(emb_col, "spark")).alias("sig"))
+    left = sig.alias("l")
+    right = sig.alias("r")
+    return (
+        left.join(right, "sig")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"), "sig")
+    )
+
+
+def cosine_topk_partial(emb_df: DataFrame, query_df: DataFrame, k: int,
+                        id_col: str = "vec_id", emb_col: str = "embedding",
+                        qid_col: str = "query_id",
+                        qemb_col: str = "qe") -> DataFrame:
+    """Map-side local top-k cosine via numpy matmul, then global merge."""
+    spark = emb_df.sparkSession
+    ensure_pyfiles(spark)
+    qrows = query_df.select(qid_col, qemb_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((q_ids, q_norm))
+
+    def local_topk(batches):
+        ids, qn = bq.value
+        best: dict[int, list] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            e_ids = pdf[id_col].values.astype(np.int64)
+            mat = np.array(pdf[emb_col].tolist(), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = qn @ mat.T  # (Q, B)
+            for qi in range(len(ids)):
+                mask = e_ids != ids[qi]
+                cand = sims[qi][mask]
+                cids = e_ids[mask]
+                kk = min(k, len(cand))
+                if kk == 0:
+                    continue
+                sel = np.argpartition(-cand, kk - 1)[:kk]
+                cur = best.setdefault(int(ids[qi]), [])
+                cur.extend(zip((-cand[sel]).tolist(), cids[sel].tolist()))
+                cur.sort()
+                del cur[k:]
+        out = [(q, vid, -negcos) for q, rows in best.items()
+               for negcos, vid in rows]
+        yield pd.DataFrame(out, columns=[qid_col, id_col, "cos"])
+
+    partial = emb_df.select(id_col, emb_col).mapInPandas(
+        local_topk, schema=f"{qid_col} long, {id_col} long, cos double")
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(),
+                                            F.col(id_col).asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cos", "rank")
+    )

@@ -682,6 +682,89 @@ FROM events GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Q: LSH-ANN signatures (hyperplane sign bits — bit-exact fold arithmetic)
+# ---------------------------------------------------------------------------
+
+def q_ann_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoio_jl_spark.operators.similarity import lsh_signature_sql
+    emb = _read(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.expr(lsh_signature_sql("embedding", "spark")).alias("sig"))
+
+
+def _sql_ann_signature() -> str:
+    from geoio_jl_spark.operators.similarity import lsh_signature_sql
+    return (f"SELECT vec_id, {lsh_signature_sql('embedding', 'duckdb')} AS sig "
+            f"FROM embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Q: distinct-vertex dedup (A4 / J3 — STL vertex dedup shape,
+#    stl.jl:16-21): unique lattice points with multiplicity + keeper id
+# ---------------------------------------------------------------------------
+
+def q_vertex_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _docs_points(spark, sf_dir)
+    return (
+        pts.groupBy("lon_i", "lat_i")
+        .agg(F.count("*").alias("multiplicity"),
+             F.min("doc_id").alias("vertex_id"))
+    )
+
+
+SQL_VERTEX_DEDUP = f"""
+SELECT lon_i, lat_i, count(*) AS multiplicity, min(doc_id) AS vertex_id
+FROM ({_ORACLE_DOCS}) GROUP BY lon_i, lat_i
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: layer selection (W2/P8 — LIMIT/OFFSET on ordered metadata,
+#    gpkg.jl:94)
+# ---------------------------------------------------------------------------
+
+def q_layer_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        nation.orderBy("n_nationkey")
+        .offset(5).limit(3)
+        .select("n_nationkey", "n_name")
+    )
+
+
+SQL_LAYER_SELECT = """
+SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey LIMIT 3 OFFSET 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: reprojection (F15/F16) — lon/lat → Web Mercator, JVM codegen trig;
+#    rounded to 4 decimals (JVM vs DuckDB libm may differ in the last ulp)
+# ---------------------------------------------------------------------------
+
+def q_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoio_jl_spark.functions.crs import lonlat_to_webmercator_cols
+    pts = _docs_points(spark, sf_dir).select(
+        "doc_id",
+        (F.col("lon_i") / 100.0 - 180.0).alias("lon"),
+        (F.col("lat_i") / 100.0 - 85.0).alias("lat"),
+    )
+    x, y = lonlat_to_webmercator_cols(F.col("lon"), F.col("lat"))
+    return pts.select(
+        "doc_id", F.round(x, 4).alias("merc_x"), F.round(y, 4).alias("merc_y"))
+
+
+SQL_WEBMERCATOR = f"""
+SELECT doc_id,
+  round(6378137.0 * radians(lon), 4) AS merc_x,
+  round(6378137.0 * ln(tan(pi() / 4.0 + radians(
+    least(greatest(lat, -89.9999), 89.9999)) / 2)), 4) AS merc_y
+FROM (SELECT doc_id, lon_i / 100.0 - 180.0 AS lon, lat_i / 100.0 - 85.0 AS lat
+      FROM ({_ORACLE_DOCS}))
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -707,4 +790,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "simhash": (q_simhash, _sql_simhash()),
         "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
         "events_window": (q_events_window, SQL_EVENTS_WINDOW),
+        "ann_signature": (q_ann_signature, _sql_ann_signature()),
+        "vertex_dedup": (q_vertex_dedup, SQL_VERTEX_DEDUP),
+        "layer_select": (q_layer_select, SQL_LAYER_SELECT),
+        "webmercator": (q_webmercator, SQL_WEBMERCATOR),
     }

@@ -1,0 +1,72 @@
+"""Multimodal column plumbing: decode / features / resize / frame-sample
+over binary columns (codec layer stubbed with the deterministic fake
+format; Spark-side schema + batching contracts are the real test)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geoio_jl_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def images_df(spark):
+    rows = [
+        (i, M.encode_fake_image(16 + i, 8 + i, 3, seed=i)) for i in range(6)
+    ] + [(99, None), (100, b"NOTANIMAGE")]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["img_id", "image"])
+    )
+
+
+def test_decode_schema_and_values(spark, images_df):
+    out = M.decode_images(images_df).select("img_id", "meta.*").collect()
+    byid = {r["img_id"]: r for r in out}
+    assert (byid[0]["width"], byid[0]["height"], byid[0]["channels"]) == (16, 8, 3)
+    assert byid[5]["width"] == 21
+    assert byid[99]["ok"] is False and byid[99]["err"] == "null"
+    assert byid[100]["ok"] is False  # stub raises NotImplementedError -> err row
+    assert "PIL" in byid[100]["err"] or "decode" in byid[100]["err"]
+
+
+def test_features_match_numpy(spark, images_df):
+    out = {r["img_id"]: r["features"]
+           for r in M.image_features(images_df).collect()}
+    a = M.decode_fake_image(M.encode_fake_image(16, 8, 3, seed=0)).astype(np.float64)
+    per_c = a.reshape(-1, 3)
+    exp = np.concatenate([per_c.mean(0), per_c.std(0), per_c.min(0), per_c.max(0)])
+    np.testing.assert_allclose(out[0], exp.astype(np.float32), rtol=1e-6)
+    assert out[99] is None
+    assert len(out[0]) == 12  # 4 stats x 3 channels
+
+
+def test_resize_halves_dims(spark, images_df):
+    out = M.resize_images(images_df.filter("img_id = 0"), factor=2)
+    blob = out.collect()[0]["resized"]
+    a = M.decode_fake_image(bytes(blob))
+    assert a.shape == (4, 8, 3)  # (8,16) -> (4,8)
+    # nearest-neighbor: pixel (0,0) unchanged
+    orig = M.decode_fake_image(M.encode_fake_image(16, 8, 3, seed=0))
+    np.testing.assert_array_equal(a[0, 0], orig[0, 0])
+
+
+def test_sample_frames(spark):
+    video = b"".join(M.encode_fake_image(4, 4, 1, seed=s) for s in range(10))
+    df = spark.createDataFrame(pd.DataFrame({"vid": [1], "video": [video]}))
+    out = M.sample_frames(df, every_k=3).collect()[0]["frames"]
+    assert len(out) == 4  # frames 0,3,6,9
+    f0 = M.decode_fake_image(bytes(out[0]))
+    exp0 = M.decode_fake_image(M.encode_fake_image(4, 4, 1, seed=0))
+    np.testing.assert_array_equal(f0, exp0)
+    f3 = M.decode_fake_image(bytes(out[1]))
+    exp3 = M.decode_fake_image(M.encode_fake_image(4, 4, 1, seed=3))
+    np.testing.assert_array_equal(f3, exp3)
+
+
+def test_pipeline_composes(spark, images_df):
+    # decode -> filter ok -> features -> aggregate (full DataFrame pipeline)
+    ok = M.decode_images(images_df).filter(F.col("meta.ok"))
+    feats = M.image_features(ok)
+    agg = feats.agg(F.count("*").alias("n")).collect()[0]
+    assert agg["n"] == 6

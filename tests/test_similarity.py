@@ -1,0 +1,54 @@
+"""Similarity search: partial top-k equals the exact window plan; LSH
+buckets behave like LSH (full recall on near-identical vectors)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geoio_jl_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_partial_topk_matches_window(spark, emb_df):
+    queries = emb_df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    got = S.cosine_topk_partial(emb_df.repartition(5), queries, k=5)
+    rows = {(r["query_id"], r["rank"]): r["vec_id"] for r in got.collect()}
+    # exact reference: numpy brute force
+    pdf = emb_df.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].values
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for q in range(8):
+        qv = matn[ids == q][0]
+        sims = matn @ qv
+        order = sorted(zip(-sims, ids), key=lambda t: (t[0], t[1]))
+        expect = [vid for negs, vid in order if vid != q][:5]
+        for rank, vid in enumerate(expect, 1):
+            assert rows[(q, rank)] == vid, f"q={q} rank={rank}"
+
+
+def test_ann_recall_on_near_duplicates(spark):
+    # planted near-identical vectors must share an LSH bucket
+    rng = np.random.RandomState(3)
+    base = rng.randn(20, S.DIM).astype(np.float32)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v.tolist()))
+        rows.append((100 + i, (v + 1e-4 * rng.randn(S.DIM).astype(np.float32)).tolist()))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    pairs = {(r["id_a"], r["id_b"]) for r in S.ann_candidate_pairs(df).collect()}
+    found = sum((i, 100 + i) in pairs for i in range(20))
+    assert found >= 18  # near-dups collide except measure-zero sign flips
+
+
+def test_plane_vectors_integer_lattice():
+    v = S.plane_vector(0)
+    assert v.shape == (S.DIM,)
+    assert v.min() >= -9 and v.max() <= 9
+    assert not np.array_equal(S.plane_vector(0), S.plane_vector(1))
