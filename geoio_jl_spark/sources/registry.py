@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geoio_jl_spark.geoschema import GeoSchema, detect_geometry_column
-from geoio_jl_spark.sources import csvgeo, geojson, geoparquet, meshtext
+from geoio_jl_spark.sources import csvgeo, geojson, geoparquet, gpkg, meshtext, stl
 
 # extension → (reader, writer, kind, notes)
 FORMATS = {
@@ -26,8 +26,10 @@ FORMATS = {
     ".geoparquet": (geoparquet.read, geoparquet.write, "table", "alias of .parquet"),
     ".geojson": (geojson.read, geojson.write, "table", "FeatureCollection (driver-side)"),
     ".geojsonl": (geojson.read_seq, geojson.write_seq, "table", "newline-delimited (distributed)"),
+    ".gpkg": (gpkg.read, gpkg.write, "table", "GeoPackage (sqlite, R-tree index)"),
     ".obj": (meshtext.read_obj, meshtext.write_obj, "mesh", "vertices+faces"),
     ".off": (meshtext.read_off, meshtext.write_off, "mesh", "vertices+faces+colors"),
+    ".stl": (stl.read, stl.write, "mesh", "binary/ascii, vertex dedup"),
 }
 
 
