@@ -17,7 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geoio_jl_spark.geoschema import GeoSchema, detect_geometry_column
-from geoio_jl_spark.sources import csvgeo, geojson, geoparquet, gpkg, meshtext, stl
+from geoio_jl_spark.sources import (
+    csvgeo, geojson, geoparquet, gpkg, gslib, meshtext, msh, ply, shapefile, stl,
+)
 
 # extension → (reader, writer, kind, notes)
 FORMATS = {
@@ -27,9 +29,13 @@ FORMATS = {
     ".geojson": (geojson.read, geojson.write, "table", "FeatureCollection (driver-side)"),
     ".geojsonl": (geojson.read_seq, geojson.write_seq, "table", "newline-delimited (distributed)"),
     ".gpkg": (gpkg.read, gpkg.write, "table", "GeoPackage (sqlite, R-tree index)"),
+    ".shp": (shapefile.read, shapefile.write, "table", "shp/shx/dbf/prj (from scratch)"),
+    ".gslib": (gslib.read, gslib.write, "table", "header-driven text table"),
     ".obj": (meshtext.read_obj, meshtext.write_obj, "mesh", "vertices+faces"),
     ".off": (meshtext.read_off, meshtext.write_off, "mesh", "vertices+faces+colors"),
     ".stl": (stl.read, stl.write, "mesh", "binary/ascii, vertex dedup"),
+    ".ply": (ply.read, ply.write, "mesh", "ascii, vtable+etable props"),
+    ".msh": (msh.read, msh.write, "mesh", "Gmsh 4.1, tag remap + data cols"),
 }
 
 
