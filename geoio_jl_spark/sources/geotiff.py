@@ -1,0 +1,203 @@
+"""GeoTIFF source/sink — from-scratch baseline-TIFF codec (struct/numpy;
+no rasterio/GDAL in this container) with the reference's grid semantics
+(S7/K7, src/extra/geotiff.jl):
+
+- read: IFD walk (uncompressed strips), bands → channel columns over an
+  implicit grid composed with the affine from ModelPixelScale+ModelTiepoint
+  or ModelTransformation (F16, geotiff.jl:128-148); EPSG code from the
+  GeoKeyDirectory (ProjectedCSTypeGeoKey 3072 / GeographicTypeGeoKey 2048)
+- write: grid → single-strip float32 TIFF; the affine is recovered from
+  3 grid vertices (F19 closed form, geotiff.jl:152-199) and emitted as
+  ModelPixelScale+ModelTiepoint when axis-aligned, else ModelTransformation
+
+Long-form output table: (cell_id, i, j, x, y, channel_1..n) — the same
+shape raster ops and the DuckDB oracle consume.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+T_WIDTH, T_HEIGHT, T_BITS, T_COMPRESSION, T_PHOTO = 256, 257, 258, 259, 262
+T_STRIP_OFFSETS, T_SPP, T_ROWS_PER_STRIP, T_STRIP_COUNTS = 273, 277, 278, 279
+T_PLANAR, T_SAMPLE_FORMAT = 284, 339
+T_MODEL_PIXEL_SCALE, T_MODEL_TIEPOINT, T_MODEL_TRANSFORM = 33550, 33922, 34264
+T_GEO_KEYS = 34735
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d"}
+
+
+def _read_ifd(buf: bytes):
+    little = buf[:2] == b"II"
+    e = "<" if little else ">"
+    magic = struct.unpack_from(e + "H", buf, 2)[0]
+    if magic != 42:
+        raise ValueError("not a TIFF file")
+    off = struct.unpack_from(e + "I", buf, 4)[0]
+    n = struct.unpack_from(e + "H", buf, off)[0]
+    tags = {}
+    for k in range(n):
+        p = off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from(e + "HHI", buf, p)
+        size = _TYPE_SIZE.get(typ, 1) * cnt
+        dpos = p + 8 if size <= 4 else struct.unpack_from(e + "I", buf, p + 8)[0]
+        if typ in _TYPE_FMT:
+            vals = struct.unpack_from(e + str(cnt) + _TYPE_FMT[typ], buf, dpos)
+        elif typ == 5:  # rational
+            raw = struct.unpack_from(e + str(2 * cnt) + "I", buf, dpos)
+            vals = tuple(raw[i] / raw[i + 1] for i in range(0, 2 * cnt, 2))
+        else:
+            vals = (buf[dpos:dpos + size],)
+        tags[tag] = vals
+    return e, tags
+
+
+def _affine_from_tags(tags) -> tuple[tuple, tuple]:
+    if T_MODEL_TRANSFORM in tags:
+        m = tags[T_MODEL_TRANSFORM]
+        return ((m[0], m[1]), (m[4], m[5])), (m[3], m[7])
+    if T_MODEL_PIXEL_SCALE in tags and T_MODEL_TIEPOINT in tags:
+        sx, sy = tags[T_MODEL_PIXEL_SCALE][0], tags[T_MODEL_PIXEL_SCALE][1]
+        tp = tags[T_MODEL_TIEPOINT]
+        # tiepoint: raster (i,j,k) -> model (x,y,z); y axis flips
+        ox = tp[3] - tp[0] * sx
+        oy = tp[4] + tp[1] * sy
+        return ((sx, 0.0), (0.0, -sy)), (ox, oy)
+    return ((1.0, 0.0), (0.0, 1.0)), (0.0, 0.0)
+
+
+def _epsg_from_geokeys(tags) -> str | None:
+    if T_GEO_KEYS not in tags:
+        return None
+    k = tags[T_GEO_KEYS]
+    nkeys = k[3]
+    for i in range(nkeys):
+        key_id, _loc, _cnt, value = k[4 + 4 * i: 8 + 4 * i]
+        if key_id in (3072, 2048):  # ProjectedCSType / GeographicType
+            return f"EPSG:{value}"
+    return None
+
+
+def read_raw(path: str):
+    with open(path, "rb") as f:
+        buf = f.read()
+    e, tags = _read_ifd(buf)
+    w = tags[T_WIDTH][0]
+    h = tags[T_HEIGHT][0]
+    spp = tags.get(T_SPP, (1,))[0]
+    bits = tags.get(T_BITS, (8,) * spp)
+    fmt = tags.get(T_SAMPLE_FORMAT, (1,) * spp)
+    if tags.get(T_COMPRESSION, (1,))[0] != 1:
+        raise ValueError("only uncompressed TIFF supported")
+    dt_map = {(1, 8): "u1", (1, 16): "u2", (1, 32): "u4",
+              (2, 8): "i1", (2, 16): "i2", (2, 32): "i4",
+              (3, 32): "f4", (3, 64): "f8"}
+    dt = np.dtype(e + dt_map[(fmt[0], bits[0])])
+    offsets = tags[T_STRIP_OFFSETS]
+    counts = tags[T_STRIP_COUNTS]
+    raw = b"".join(buf[o:o + c] for o, c in zip(offsets, counts))
+    arr = np.frombuffer(raw, dt, w * h * spp).reshape(h, w, spp)
+    A, b = _affine_from_tags(tags)
+    return arr, A, b, _epsg_from_geokeys(tags)
+
+
+def read(spark: SparkSession, path: str) -> DataFrame:
+    arr, A, b, epsg = read_raw(path)
+    h, w, spp = arr.shape
+    cell = np.arange(w * h, dtype=np.int64)
+    i = cell % w
+    j = cell // w
+    pdf = pd.DataFrame({
+        "cell_id": cell, "i": i, "j": j,
+        "x": A[0][0] * i + A[0][1] * j + b[0],
+        "y": A[1][0] * i + A[1][1] * j + b[1],
+    })
+    for c in range(spp):
+        pdf[f"channel_{c + 1}"] = arr[j, i, c].astype(np.float64)
+    return spark.createDataFrame(pdf)
+
+
+def write(df: DataFrame, path: str, epsg: int = 4326,
+          channels: list[str] | None = None) -> None:
+    """2D-grid constraint (geotiff.jl:44-47); affine recovered from 3
+    vertices (F19)."""
+    pdf = df.toPandas().sort_values(["j", "i"])
+    w = int(pdf["i"].max()) + 1
+    h = int(pdf["j"].max()) + 1
+    if len(pdf) != w * h:
+        raise ValueError("GeoTIFF write requires a complete 2D grid "
+                         "(geotiff.jl:44-47 constraint)")
+    if channels is None:
+        channels = [c for c in pdf.columns if c.startswith("channel_")] or [
+            c for c in pdf.columns
+            if c not in ("cell_id", "i", "j", "x", "y")][:1]
+    spp = len(channels)
+    # F19: b = v(0,0); A cols from v(1,0)-b and v(0,1)-b
+    key = pdf.set_index(["i", "j"])
+    v00 = np.array([key.loc[(0, 0), "x"], key.loc[(0, 0), "y"]], dtype=float)
+    v10 = np.array([key.loc[(1, 0), "x"], key.loc[(1, 0), "y"]], dtype=float) if w > 1 else v00 + [1, 0]
+    v01 = np.array([key.loc[(0, 1), "x"], key.loc[(0, 1), "y"]], dtype=float) if h > 1 else v00 + [0, 1]
+    a1, a2 = v10 - v00, v01 - v00
+    data = np.stack([np.asarray(pdf[c], np.float32).reshape(h, w)
+                     for c in channels], axis=2)
+    pixel_bytes = data.astype("<f4").tobytes()
+
+    entries = []  # (tag, type, count, values)
+    entries.append((T_WIDTH, 4, 1, [w]))
+    entries.append((T_HEIGHT, 4, 1, [h]))
+    entries.append((T_BITS, 3, spp, [32] * spp))
+    entries.append((T_COMPRESSION, 3, 1, [1]))
+    entries.append((T_PHOTO, 3, 1, [1]))
+    entries.append((T_SPP, 3, 1, [spp]))
+    entries.append((T_ROWS_PER_STRIP, 4, 1, [h]))
+    entries.append((T_STRIP_COUNTS, 4, 1, [len(pixel_bytes)]))
+    entries.append((T_PLANAR, 3, 1, [1]))
+    entries.append((T_SAMPLE_FORMAT, 3, spp, [3] * spp))
+    axis_aligned = a1[1] == 0 and a2[0] == 0
+    if axis_aligned:
+        entries.append((T_MODEL_PIXEL_SCALE, 12, 3, [a1[0], -a2[1], 0.0]))
+        entries.append((T_MODEL_TIEPOINT, 12, 6, [0, 0, 0, v00[0], v00[1], 0]))
+    else:
+        m = [a1[0], a2[0], 0, v00[0], a1[1], a2[1], 0, v00[1],
+             0, 0, 0, 0, 0, 0, 0, 1]
+        entries.append((T_MODEL_TRANSFORM, 12, 16, m))
+    geokeys = [1, 1, 0, 2,
+               1024, 0, 1, 2 if epsg == 4326 else 1,
+               (2048 if epsg == 4326 else 3072), 0, 1, epsg]
+    entries.append((T_GEO_KEYS, 3, len(geokeys), geokeys))
+    entries.append((T_STRIP_OFFSETS, 4, 1, [0]))  # patched below
+    entries.sort(key=lambda t: t[0])
+
+    ifd_off = 8
+    n = len(entries)
+    data_off = ifd_off + 2 + 12 * n + 4
+    blobs, patched = [], []
+    for tag, typ, cnt, vals in entries:
+        fmt = _TYPE_FMT[typ]
+        raw = struct.pack("<" + str(cnt) + fmt, *vals)
+        if len(raw) <= 4:
+            patched.append((tag, typ, cnt, raw.ljust(4, b"\x00"), None))
+        else:
+            patched.append((tag, typ, cnt, None, len(b"".join(blobs))))
+            blobs.append(raw)
+    extra = b"".join(blobs)
+    strip_off = data_off + len(extra)
+    out = struct.pack("<2sHI", b"II", 42, ifd_off)
+    out += struct.pack("<H", n)
+    for (tag, typ, cnt, inline, rel) in patched:
+        out += struct.pack("<HHI", tag, typ, cnt)
+        if tag == T_STRIP_OFFSETS:
+            out += struct.pack("<I", strip_off)
+        elif inline is not None:
+            out += inline
+        else:
+            out += struct.pack("<I", data_off + rel)
+    out += struct.pack("<I", 0)
+    out += extra + pixel_bytes
+    with open(path, "wb") as f:
+        f.write(out)

@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 
 from geoio_jl_spark.geoschema import GeoSchema, detect_geometry_column
 from geoio_jl_spark.sources import (
-    csvgeo, geojson, geoparquet, gpkg, gslib, meshtext, msh, ply, shapefile, stl,
+    csvgeo, geojson, geoparquet, geotiff, gpkg, gslib, img, meshtext, msh,
+    netcdf3, ply, shapefile, stl,
 )
 
 # extension → (reader, writer, kind, notes)
@@ -31,6 +32,10 @@ FORMATS = {
     ".gpkg": (gpkg.read, gpkg.write, "table", "GeoPackage (sqlite, R-tree index)"),
     ".shp": (shapefile.read, shapefile.write, "table", "shp/shx/dbf/prj (from scratch)"),
     ".gslib": (gslib.read, gslib.write, "table", "header-driven text table"),
+    ".tif": (geotiff.read, geotiff.write, "grid", "baseline TIFF + GeoKeys (from scratch)"),
+    ".tiff": (geotiff.read, geotiff.write, "grid", "alias of .tif"),
+    ".nc": (netcdf3.read, netcdf3.write, "grid", "NetCDF-3 classic (from scratch)"),
+    ".png": (img.read, img.write, "grid", "PNG via stdlib zlib (from scratch)"),
     ".obj": (meshtext.read_obj, meshtext.write_obj, "mesh", "vertices+faces"),
     ".off": (meshtext.read_off, meshtext.write_off, "mesh", "vertices+faces+colors"),
     ".stl": (stl.read, stl.write, "mesh", "binary/ascii, vertex dedup"),

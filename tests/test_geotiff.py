@@ -1,0 +1,61 @@
+"""GeoTIFF codec round trips (reference test/io/geotiff.jl model)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geoio_jl_spark.operators.raster import GridSpec, grid_cells
+from geoio_jl_spark.sources import geotiff as GT
+
+
+def _grid(spark, spec):
+    g = grid_cells(spark, spec)
+    return g.withColumn("channel_1", (F.col("cell_id") % 97).cast("double")) \
+            .withColumn("channel_2", (F.col("cell_id") % 13).cast("double"))
+
+
+def test_roundtrip_axis_aligned(spark, tmp_path):
+    spec = GridSpec(nx=8, ny=5, A=((0.5, 0.0), (0.0, -0.25)), b=(10.0, 52.0))
+    df = _grid(spark, spec)
+    path = str(tmp_path / "a.tif")
+    GT.write(df, path, epsg=4326)
+    back = GT.read(spark, path)
+    assert back.count() == 40
+    o = {(r["i"], r["j"]): r for r in df.collect()}
+    b = {(r["i"], r["j"]): r for r in back.collect()}
+    for k in o:
+        assert b[k]["channel_1"] == o[k]["channel_1"]
+        assert b[k]["channel_2"] == o[k]["channel_2"]
+        assert abs(b[k]["x"] - o[k]["x"]) < 1e-9
+        assert abs(b[k]["y"] - o[k]["y"]) < 1e-9
+
+
+def test_roundtrip_rotated_affine(spark, tmp_path):
+    # non-axis-aligned affine -> ModelTransformation path (geotiff.jl:128-148)
+    spec = GridSpec(nx=4, ny=4, A=((0.5, 0.1), (0.2, -0.25)), b=(100.0, 200.0))
+    df = _grid(spark, spec)
+    path = str(tmp_path / "r.tif")
+    GT.write(df, path, epsg=32633)
+    arr, A, b, epsg = GT.read_raw(path)
+    assert epsg == "EPSG:32633"
+    np.testing.assert_allclose(A, [[0.5, 0.1], [0.2, -0.25]])
+    np.testing.assert_allclose(b, [100.0, 200.0])
+    back = GT.read(spark, path)
+    bb = {(r["i"], r["j"]): r for r in back.collect()}
+    oo = {(r["i"], r["j"]): r for r in df.collect()}
+    for k in oo:
+        assert abs(bb[k]["x"] - oo[k]["x"]) < 1e-9
+
+
+def test_epsg_geokey(spark, tmp_path):
+    df = _grid(spark, GridSpec(nx=2, ny=2))
+    path = str(tmp_path / "e.tif")
+    GT.write(df, path, epsg=4326)
+    _arr, _A, _b, epsg = GT.read_raw(path)
+    assert epsg == "EPSG:4326"
+
+
+def test_incomplete_grid_rejected(spark, tmp_path):
+    df = _grid(spark, GridSpec(nx=3, ny=3)).filter("cell_id != 4")
+    with pytest.raises(ValueError, match="complete 2D grid"):
+        GT.write(df, str(tmp_path / "bad.tif"))

@@ -1,0 +1,92 @@
+"""NetCDF-3 codec: round trip + time-series array columns (reference
+test/io/netcdf.jl model)."""
+
+import numpy as np
+import pytest
+
+from geoio_jl_spark.sources import netcdf3 as NC
+
+
+def test_roundtrip_regular_grid(spark, tmp_path):
+    from geoio_jl_spark.operators.raster import GridSpec, grid_cells
+    from pyspark.sql import functions as F
+    spec = GridSpec(nx=6, ny=4, A=((0.5, 0.0), (0.0, 0.25)), b=(10.0, 40.0))
+    grid = grid_cells(spark, spec).withColumn(
+        "temp", (F.col("cell_id") * 1.5).cast("double"))
+    path = str(tmp_path / "g.nc")
+    NC.write(grid, path, value_cols=["temp"])
+    back = NC.read(spark, path)
+    assert back.count() == 24
+    rows = {(r["i"], r["j"]): r for r in back.collect()}
+    orig = {(r["i"], r["j"]): r for r in grid.collect()}
+    for k in orig:
+        assert rows[k]["temp"] == orig[k]["temp"]
+        assert rows[k]["x"] == orig[k]["x"]
+
+
+def test_incomplete_grid_rejected(spark, tmp_path):
+    from geoio_jl_spark.operators.raster import GridSpec, grid_cells
+    grid = grid_cells(spark, GridSpec(nx=4, ny=4)).filter("cell_id != 5")
+    with pytest.raises(ValueError, match="complete grid"):
+        NC.write(grid, str(tmp_path / "bad.nc"))
+
+
+def test_time_series_array_column(spark, tmp_path):
+    # hand-build a file with a (time, lat, lon) variable -> array column
+    import struct
+    path = str(tmp_path / "ts.nc")
+    nt, ny, nx = 3, 2, 2
+    header = b"CDF\x01" + struct.pack(">i", 0)
+    header += struct.pack(">ii", 10, 3)
+    for nm, ln in (("time", nt), ("lat", ny), ("lon", nx)):
+        b = nm.encode()
+        header += struct.pack(">i", len(b)) + b + b"\x00" * ((-len(b)) % 4)
+        header += struct.pack(">i", ln)
+    header += struct.pack(">ii", 0, 0)
+
+    def ventry(nm, dimids, begin, n):
+        b = nm.encode()
+        e = struct.pack(">i", len(b)) + b + b"\x00" * ((-len(b)) % 4)
+        e += struct.pack(">i", len(dimids))
+        for d in dimids:
+            e += struct.pack(">i", d)
+        e += struct.pack(">ii", 0, 0)
+        e += struct.pack(">iii", NC.NC_DOUBLE, n * 8, begin)
+        return e
+
+    entries = [("time", [0], nt), ("lat", [1], ny), ("lon", [2], nx),
+               ("tempanomaly", [0, 1, 2], nt * ny * nx)]
+    dummy = b"".join(ventry(nm, d, 0, n) for nm, d, n in entries)
+    begin0 = len(header) + 8 + len(dummy)
+    begins, pos = [], begin0
+    for _nm, _d, n in entries:
+        begins.append(pos)
+        pos += n * 8
+    body = struct.pack(">ii", 11, 4) + b"".join(
+        ventry(nm, d, b, n) for (nm, d, n), b in zip(entries, begins))
+    data = np.arange(nt, dtype=">f8").tobytes()
+    data += np.array([50.0, 51.0], ">f8").tobytes()
+    data += np.array([10.0, 11.0], ">f8").tobytes()
+    cube = np.arange(nt * ny * nx, dtype=">f8").reshape(nt, ny, nx)
+    data += cube.tobytes()
+    with open(path, "wb") as f:
+        f.write(header + body + data)
+
+    df = NC.read(spark, path)
+    rows = {(r["i"], r["j"]): r["tempanomaly"] for r in df.collect()}
+    # cell (i=1, j=0) = lon idx 1, lat idx 0 -> cube[:, 0, 1] = [1, 5, 9]
+    assert rows[(1, 0)] == [1.0, 5.0, 9.0]
+    assert len(rows[(0, 0)]) == 3  # array<double> per cell
+
+
+def test_axis_name_sniffing(spark, tmp_path):
+    # lon/lat names resolve via the candidate lists (cdm.jl:178-203)
+    from geoio_jl_spark.operators.raster import GridSpec, grid_cells
+    from pyspark.sql import functions as F
+    grid = grid_cells(spark, GridSpec(nx=3, ny=2)).withColumn(
+        "v", F.lit(1.0))
+    path = str(tmp_path / "ll.nc")
+    NC.write(grid.withColumnRenamed("x", "lon").withColumnRenamed("y", "lat"),
+             path, x="lon", y="lat", value_cols=["v"])
+    back = NC.read(spark, path)
+    assert back.count() == 6 and "v" in back.columns
