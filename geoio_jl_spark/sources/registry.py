@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from geoio_jl_spark.geoschema import GeoSchema, detect_geometry_column
 from geoio_jl_spark.sources import (
     csvgeo, geojson, geoparquet, geotiff, gpkg, gslib, img, meshtext, msh,
-    netcdf3, ply, shapefile, stl,
+    netcdf3, ply, shapefile, stl, vtk,
 )
 
 # extension → (reader, writer, kind, notes)
@@ -41,6 +41,8 @@ FORMATS = {
     ".stl": (stl.read, stl.write, "mesh", "binary/ascii, vertex dedup"),
     ".ply": (ply.read, ply.write, "mesh", "ascii, vtable+etable props"),
     ".msh": (msh.read, msh.write, "mesh", "Gmsh 4.1, tag remap + data cols"),
+    ".vtu": (vtk.read_vtu, vtk.write_vtu, "mesh", "VTK XML unstructured (+pixel/voxel reorder)"),
+    ".vti": (vtk.read_vti, vtk.write_vti, "grid", "VTK XML image (mask -> SubGrid)"),
 }
 
 

@@ -1,0 +1,168 @@
+"""VTK XML source/sink (reference S15/K12, src/extra/vtk/) — ascii
+.vti (ImageData) and .vtu (UnstructuredGrid) via stdlib xml.etree.
+
+Semantics carried over:
+- cell-type map (vtk/read.jl:5-15): 3 line, 5 triangle, 9 quad, 10 tetra,
+  12 hexahedron, 14 pyramid, plus 8 PIXEL / 11 VOXEL whose connectivity is
+  reordered to quad/hexahedron order (F26, vtk/read.jl:243-251)
+- .vti mask column → SubGrid view on read (P6, vtk/read.jl:32-48); on
+  write a masked subdomain is NaN-filled onto the parent grid with a mask
+  column (K12, vtk/write.jl:76-97) — the operators live in
+  operators/raster.py; this codec moves the bytes
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+VTK_KINDS = {3: "segment", 5: "triangle", 9: "quad", 10: "tetrahedron",
+             12: "hexahedron", 14: "pyramid", 8: "pixel", 11: "voxel"}
+KIND_TO_VTK = {"segment": 3, "triangle": 5, "quad": 9, "tetrahedron": 10,
+               "hexahedron": 12, "pyramid": 14}
+# F26: VTK_PIXEL/VOXEL → quad/hexahedron vertex order (vtk/read.jl:243-251)
+_PIXEL_ORDER = [0, 1, 3, 2]
+_VOXEL_ORDER = [0, 1, 3, 2, 4, 5, 7, 6]
+
+
+def _data_array(parent, name: str, values, ncomp: int = 1) -> None:
+    el = ET.SubElement(parent, "DataArray", {
+        "type": "Float64", "Name": name, "format": "ascii",
+        **({"NumberOfComponents": str(ncomp)} if ncomp > 1 else {})})
+    el.text = " ".join(repr(float(v)) for v in np.asarray(values).ravel())
+
+
+def _parse_array(el) -> np.ndarray:
+    vals = np.array([float(x) for x in el.text.split()])
+    ncomp = int(el.get("NumberOfComponents", "1"))
+    return vals.reshape(-1, ncomp) if ncomp > 1 else vals
+
+
+# ---------------------------------------------------------------------------
+# .vtu — UnstructuredGrid ↔ (vertices, elements)
+# ---------------------------------------------------------------------------
+
+def read_vtu(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    root = ET.parse(path).getroot()
+    piece = root.find(".//Piece")
+    pts = _parse_array(piece.find("Points/DataArray"))
+    arrays = {a.get("Name"): a for a in piece.findall("Cells/DataArray")}
+    conn = _parse_array(arrays["connectivity"]).astype(np.int64)
+    offsets = _parse_array(arrays["offsets"]).astype(np.int64)
+    types = _parse_array(arrays["types"]).astype(np.int64)
+    vpdf = pd.DataFrame({
+        "vid": np.arange(1, len(pts) + 1),
+        "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2]})
+    erows, start = [], 0
+    for eid, (end, t) in enumerate(zip(offsets, types), start=1):
+        vids = (conn[start:end] + 1).tolist()
+        start = end
+        t = int(t)
+        if t == 8:  # VTK_PIXEL → quad order (F26)
+            vids = [vids[k] for k in _PIXEL_ORDER]
+            kind = "quad"
+        elif t == 11:  # VTK_VOXEL → hexahedron order
+            vids = [vids[k] for k in _VOXEL_ORDER]
+            kind = "hexahedron"
+        else:
+            kind = VTK_KINDS.get(t, f"type{t}")
+        erows.append((eid, kind, vids))
+    # per-vertex / per-cell data arrays → vtable/etable columns
+    for a in piece.findall("PointData/DataArray"):
+        vpdf[a.get("Name")] = _parse_array(a)
+    epdf = pd.DataFrame(erows, columns=["eid", "kind", "vids"])
+    for a in piece.findall("CellData/DataArray"):
+        epdf[a.get("Name")] = _parse_array(a)
+    return spark.createDataFrame(vpdf), spark.createDataFrame(epdf)
+
+
+def write_vtu(vertices: DataFrame, elements: DataFrame, path: str) -> None:
+    v = vertices.orderBy("vid").toPandas()
+    e = elements.orderBy("eid").toPandas()
+    root = ET.Element("VTKFile", {"type": "UnstructuredGrid", "version": "1.0",
+                                  "byte_order": "LittleEndian"})
+    ug = ET.SubElement(root, "UnstructuredGrid")
+    piece = ET.SubElement(ug, "Piece", {"NumberOfPoints": str(len(v)),
+                                        "NumberOfCells": str(len(e))})
+    points = ET.SubElement(piece, "Points")
+    _data_array(points, "Points",
+                v[["x", "y", "z"]].to_numpy() if "z" in v.columns
+                else np.column_stack([v["x"], v["y"], np.zeros(len(v))]), 3)
+    pdata = ET.SubElement(piece, "PointData")
+    for c in v.columns:
+        if c not in ("vid", "x", "y", "z", "tag"):
+            _data_array(pdata, c, v[c].fillna(np.nan))
+    cells = ET.SubElement(piece, "Cells")
+    conn, offs, types, acc = [], [], [], 0
+    for _, r in e.iterrows():
+        vids = [int(x) - 1 for x in r["vids"]]
+        conn.extend(vids)
+        acc += len(vids)
+        offs.append(acc)
+        types.append(KIND_TO_VTK.get(r.get("kind", "triangle"), 5))
+    _data_array(cells, "connectivity", conn)
+    _data_array(cells, "offsets", offs)
+    _data_array(cells, "types", types)
+    cdata = ET.SubElement(piece, "CellData")
+    for c in e.columns:
+        if c not in ("eid", "kind", "vids"):
+            _data_array(cdata, c, e[c].fillna(np.nan))
+    ET.ElementTree(root).write(path, xml_declaration=True)
+
+
+# ---------------------------------------------------------------------------
+# .vti — ImageData ↔ long cell table (+ optional mask)
+# ---------------------------------------------------------------------------
+
+def read_vti(spark: SparkSession, path: str, apply_mask_col: bool = True):
+    root = ET.parse(path).getroot()
+    image = root.find("ImageData")
+    extent = [int(x) for x in image.get("WholeExtent").split()]
+    origin = [float(x) for x in image.get("Origin", "0 0 0").split()]
+    spacing = [float(x) for x in image.get("Spacing", "1 1 1").split()]
+    nx = extent[1] - extent[0]
+    ny = extent[3] - extent[2]
+    cell = np.arange(nx * ny, dtype=np.int64)
+    i = cell % nx
+    j = cell // nx
+    pdf = pd.DataFrame({
+        "cell_id": cell, "i": i, "j": j,
+        "x": origin[0] + spacing[0] * (i + 0.5),
+        "y": origin[1] + spacing[1] * (j + 0.5)})
+    for a in image.findall(".//CellData/DataArray"):
+        pdf[a.get("Name")] = _parse_array(a)
+    df = spark.createDataFrame(pdf)
+    if apply_mask_col and "mask" in pdf.columns:
+        # mask → SubGrid view (P6, vtk/read.jl:32-48)
+        from geoio_jl_spark.operators.raster import apply_mask
+        df = apply_mask(df.withColumn(
+            "mask", df["mask"].cast("int")))
+    return df
+
+
+def write_vti(df: DataFrame, path: str, nx: int, ny: int,
+              origin=(0.0, 0.0), spacing=(1.0, 1.0),
+              value_cols: list[str] | None = None) -> None:
+    """Full-grid write; for subdomains run raster.fill_to_parent first
+    (K12 NaN-fill + mask), then pass the filled frame here."""
+    pdf = df.toPandas().sort_values("cell_id")
+    if len(pdf) != nx * ny:
+        raise ValueError("write_vti needs the complete grid — use "
+                         "raster.fill_to_parent for subdomains (K12)")
+    if value_cols is None:
+        value_cols = [c for c in pdf.columns
+                      if c not in ("cell_id", "i", "j", "x", "y")]
+    root = ET.Element("VTKFile", {"type": "ImageData", "version": "1.0",
+                                  "byte_order": "LittleEndian"})
+    image = ET.SubElement(root, "ImageData", {
+        "WholeExtent": f"0 {nx} 0 {ny} 0 0",
+        "Origin": f"{origin[0]} {origin[1]} 0",
+        "Spacing": f"{spacing[0]} {spacing[1]} 1"})
+    piece = ET.SubElement(image, "Piece", {"Extent": f"0 {nx} 0 {ny} 0 0"})
+    cdata = ET.SubElement(piece, "CellData")
+    for c in value_cols:
+        _data_array(cdata, c, pdf[c])
+    ET.ElementTree(root).write(path, xml_declaration=True)
