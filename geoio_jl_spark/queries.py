@@ -773,6 +773,127 @@ FROM (SELECT doc_id, lon_i / 100.0 - 180.0 AS lon, lat_i / 100.0 - 85.0 AS lat
 
 
 # ---------------------------------------------------------------------------
+# Q: as-of join (from-scratch window plan vs DuckDB's native ASOF JOIN)
+# ---------------------------------------------------------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoio_jl_spark.operators.asof import asof_join
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.floor(F.col("value") * 1000000).cast("bigint")
+        .alias("purchase_value_e6"))
+    joined = asof_join(clicks, purchases, on="user_id", ts="ts",
+                       right_cols=["purchase_value_e6"])
+    return joined.select(
+        "event_id", "user_id",
+        F.col("asof_purchase_value_e6").alias("purchase_value_e6"),
+        F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        .alias("purchase_ts_us"))
+
+
+SQL_ASOF_JOIN = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, CAST(floor(value * 1000000) AS BIGINT) AS purchase_value_e6
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, p.purchase_value_e6,
+       epoch_us(p.ts) AS purchase_ts_us
+FROM clicks c ASOF JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: hierarchical rollup over events (grouping-set machinery)
+# ---------------------------------------------------------------------------
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hour_bucket"),
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("v_e6"))
+    return (
+        ev.rollup("event_type", "hour_bucket")
+        .agg(F.count("*").alias("n"), F.sum("v_e6").alias("v_sum_e6"))
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT event_type, hour_bucket, count(*) AS n, sum(v_e6) AS v_sum_e6
+FROM (SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+             CAST(floor(value * 1000000) AS BIGINT) AS v_e6 FROM events)
+GROUP BY ROLLUP (event_type, hour_bucket)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: BPE-ish regex token counting (second tokenizer family)
+# ---------------------------------------------------------------------------
+
+# Spark SQL string literals eat one level of backslash; DuckDB's do not.
+_BPE_RE_SPARK = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]"
+_BPE_RE_DUCK = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE_SPARK}', 0)"))
+        .cast("bigint").alias("n_bpe_tokens"))
+
+
+SQL_BPE_TOKENS = (
+    f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{_BPE_RE_DUCK}')) AS BIGINT)"
+    " AS n_bpe_tokens FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# Q: embedding-cosine near-dup (LSH candidates + exact fold-cosine filter)
+# ---------------------------------------------------------------------------
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoio_jl_spark.operators.similarity import ann_candidate_pairs
+    emb = _read(spark, sf_dir, "embeddings")
+    cand = ann_candidate_pairs(emb).drop("sig")
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    dot = F.expr(_DOT.format(a="e_a", b="e_b"))
+    na = F.expr(_DOT.format(a="e_a", b="e_a"))
+    nb = F.expr(_DOT.format(a="e_b", b="e_b"))
+    return (
+        cand.join(F.broadcast(ea), "id_a").join(F.broadcast(eb), "id_b")
+        .withColumn("cos", dot / (F.sqrt(na) * F.sqrt(nb)))
+        .filter(F.col("cos") >= 0.25)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def _sql_embedding_near_dup() -> str:
+    from geoio_jl_spark.operators.similarity import lsh_signature_sql
+    dot = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+           "list_transform(generate_series(1, len({a})), "
+           "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, x) -> acc + x)")
+    sig = lsh_signature_sql("embedding", "duckdb")
+    return f"""
+WITH s AS (SELECT vec_id, embedding, {sig} AS sig FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {dot.format(a='a.embedding', b='b.embedding')}
+       / (sqrt({dot.format(a='a.embedding', b='a.embedding')})
+          * sqrt({dot.format(a='b.embedding', b='b.embedding')})) AS cos
+FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE {dot.format(a='a.embedding', b='b.embedding')}
+      / (sqrt({dot.format(a='a.embedding', b='a.embedding')})
+         * sqrt({dot.format(a='b.embedding', b='b.embedding')})) >= 0.25
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -803,4 +924,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "vertex_dedup": (q_vertex_dedup, SQL_VERTEX_DEDUP),
         "layer_select": (q_layer_select, SQL_LAYER_SELECT),
         "webmercator": (q_webmercator, SQL_WEBMERCATOR),
+        "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+        "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
+        "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),
+        "embedding_near_dup": (q_embedding_near_dup, _sql_embedding_near_dup()),
     }
