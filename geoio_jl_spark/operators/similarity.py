@@ -72,6 +72,97 @@ def ann_candidate_pairs(emb_df: DataFrame, id_col: str = "vec_id",
     )
 
 
+def ivf_index(emb_df: DataFrame, k_centroids: int = 16, n_iter: int = 2,
+              id_col: str = "vec_id", emb_col: str = "embedding"):
+    """IVF index: Lloyd iterations executed distributed (mapInPandas
+    partial sums per partition, tiny driver-side combine), then cluster
+    assignment column.  Deterministic: centroids init from the lowest ids.
+
+    Returns (assigned_df with `ivf_cluster`, centroids ndarray (K, dim)).
+    """
+    spark = emb_df.sparkSession
+    ensure_pyfiles(spark)
+    first = emb_df.orderBy(id_col).limit(k_centroids).collect()
+    centroids = np.array([r[emb_col] for r in first], dtype=np.float64)
+
+    for _ in range(n_iter):
+        bc = spark.sparkContext.broadcast(centroids)
+
+        def partial_sums(batches):
+            c = bc.value
+            sums = np.zeros_like(c)
+            counts = np.zeros(len(c), dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(pdf[emb_col].tolist(), dtype=np.float64)
+                d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                for ci in range(len(c)):
+                    m = assign == ci
+                    if m.any():
+                        sums[ci] += mat[m].sum(axis=0)
+                        counts[ci] += int(m.sum())
+            rows = [(ci, counts[ci], sums[ci].tolist())
+                    for ci in range(len(c))]
+            yield pd.DataFrame(rows, columns=["c", "n", "s"])
+
+        parts = emb_df.select(emb_col).mapInPandas(
+            partial_sums, schema="c int, n long, s array<double>").collect()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        for r in parts:
+            sums[r["c"]] += np.array(r["s"])
+            counts[r["c"]] += r["n"]
+        nonzero = counts > 0
+        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign(batches):
+        c = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(ivf_cluster=pd.Series(dtype="int32"))
+                continue
+            mat = np.array(pdf[emb_col].tolist(), dtype=np.float64)
+            d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            yield pdf.assign(ivf_cluster=d2.argmin(axis=1).astype("int32"))
+
+    from pyspark.sql import types as T
+    # NB: StructType.add mutates in place — build a fresh StructType so the
+    # input DataFrame's cached schema isn't poisoned
+    schema = T.StructType(list(emb_df.schema.fields)
+                          + [T.StructField("ivf_cluster", T.IntegerType())])
+    assigned = emb_df.mapInPandas(assign, schema=schema)
+    return assigned, centroids
+
+
+def ivf_search(assigned: DataFrame, centroids: np.ndarray,
+               query_df: DataFrame, k: int, n_probe: int = 4,
+               id_col: str = "vec_id", emb_col: str = "embedding",
+               qid_col: str = "query_id", qemb_col: str = "qe") -> DataFrame:
+    """Probe the n_probe nearest centroids per query, brute-force cosine
+    within those clusters only (partition pruning for vectors: the scan
+    touches n_probe/K of the data)."""
+    qrows = query_df.select(qid_col, qemb_col).collect()
+    out_parts = []
+    for r in qrows:
+        qv = np.array(r[qemb_col], dtype=np.float64)
+        d2 = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+        probes = [int(x) for x in np.argsort(d2)[:n_probe]]
+        sub = assigned.filter(F.col("ivf_cluster").isin(probes))
+        one_q = assigned.sparkSession.createDataFrame(
+            pd.DataFrame({qid_col: [r[qid_col]], qemb_col: [list(qv)]}))
+        out_parts.append(cosine_topk_partial(
+            sub, one_q, k, id_col=id_col, emb_col=emb_col,
+            qid_col=qid_col, qemb_col=qemb_col))
+    res = out_parts[0]
+    for p in out_parts[1:]:
+        res = res.unionByName(p)
+    return res
+
+
 def cosine_topk_partial(emb_df: DataFrame, query_df: DataFrame, k: int,
                         id_col: str = "vec_id", emb_col: str = "embedding",
                         qid_col: str = "query_id",

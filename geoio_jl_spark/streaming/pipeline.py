@@ -37,6 +37,68 @@ def windowed_event_counts(stream: DataFrame, ts: str = "ts",
     )
 
 
+def sessionize(stream: DataFrame, gap_seconds: int = 1800,
+               user_col: str = "user_id", ts_col: str = "ts",
+               use_timeout: bool = False) -> DataFrame:
+    """Custom stateful operator: session windows per user via
+    ``applyInPandasWithState`` (the engine's example of state the built-in
+    windows can't express — session gap logic with carried state).
+
+    Emits one row per closed session: (user_id, session_start_us,
+    session_end_us, n_events). Sessions close when a new event arrives
+    more than ``gap_seconds`` after the last one; the state timeout closes
+    trailing sessions.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = ("user_id long, session_start_us long, session_end_us long, "
+                  "n_events long")
+    state_schema = "start_us long, end_us long, n long"
+
+    def fn(key, pdf_iter, state: GroupState):
+        user = key[0]
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n = state.get
+                closed.append((user, s, e, n))
+                state.remove()
+            yield pd.DataFrame(
+                closed, columns=["user_id", "session_start_us",
+                                 "session_end_us", "n_events"])
+            return
+        cur = state.get if state.exists else None
+        events = []
+        for pdf in pdf_iter:
+            events.extend((int(t.value // 1000),) for t in pd.to_datetime(pdf[ts_col]))
+        events.sort()
+        for (us,) in events:
+            us = us  # microseconds
+            if cur is None:
+                cur = (us, us, 1)
+            elif us - cur[1] > gap_seconds * 1_000_000:
+                closed.append((user, *cur))
+                cur = (us, us, 1)
+            else:
+                cur = (cur[0], us, cur[2] + 1)
+        if cur is not None:
+            state.update(cur)
+            if use_timeout:
+                state.setTimeoutDuration(gap_seconds * 1000)
+        yield pd.DataFrame(
+            closed, columns=["user_id", "session_start_us",
+                             "session_end_us", "n_events"])
+
+    return (
+        stream.groupBy(user_col).applyInPandasWithState(
+            fn, outputStructType=out_schema, stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout if use_timeout
+                         else GroupStateTimeout.NoTimeout))
+    )
+
+
 def stream_point_in_polygon(stream: DataFrame, polygons: DataFrame,
                             output_fn, res: int = 3,
                             checkpoint_dir: str | None = None,

@@ -47,6 +47,31 @@ def test_ann_recall_on_near_duplicates(spark):
     assert found >= 18  # near-dups collide except measure-zero sign flips
 
 
+def test_ivf_search_recall(spark, emb_df):
+    from pyspark.sql import functions as F
+    assigned, centroids = S.ivf_index(emb_df, k_centroids=8, n_iter=2)
+    assert assigned.filter(F.col("ivf_cluster").isNull()).count() == 0
+    assert centroids.shape == (8, S.DIM)
+    queries = emb_df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    exact = S.cosine_topk_partial(emb_df, queries, k=5)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # full probe = exact
+    full = S.ivf_search(assigned, centroids, queries, k=5, n_probe=8)
+    full_sets = {}
+    for r in full.collect():
+        full_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert full_sets == exact_sets
+    # partial probe: decent recall on random data
+    part = S.ivf_search(assigned, centroids, queries, k=5, n_probe=4)
+    hits = sum(len({r["vec_id"] for r in part.collect()
+                    if r["query_id"] == q} & exact_sets[q])
+               for q in exact_sets)
+    assert hits >= 0.4 * 25  # recall@5 >= 40% with half the probes
+
+
 def test_plane_vectors_integer_lattice():
     v = S.plane_vector(0)
     assert v.shape == (S.DIM,)
