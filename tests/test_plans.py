@@ -1,0 +1,52 @@
+"""Physical-plan regression tests — the scale properties the engine
+promises (docs/PLANS.md) must survive refactors:
+
+- polygon side of the spatial join broadcasts (no shuffle of the big side)
+- parquet scans are pruned to the referenced columns
+- no CartesianProduct anywhere in the oracle query set
+"""
+
+import contextlib
+import io
+
+import pytest
+
+from geoio_jl_spark import queries as Q
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pip_join_broadcasts_polygons(spark, sf_dir):
+    p = plan_of(Q.q_pip_count(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_docs_scan_pruned_to_one_column(spark, sf_dir):
+    p = plan_of(Q.q_pip_count(spark, sf_dir))
+    # documents has 5 columns; the join needs only doc_id
+    assert "ReadSchema: struct<doc_id:bigint>" in p
+
+
+def test_token_stats_scan_pruned(spark, sf_dir):
+    p = plan_of(Q.q_token_stats(spark, sf_dir))
+    assert "ReadSchema: struct<text:string,lang:string>" in p
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    offenders = []
+    for name, (fn, _sql) in Q.registry().items():
+        p = plan_of(fn(spark, sf_dir))
+        if "CartesianProduct" in p:
+            offenders.append(name)
+    assert offenders == []
+
+
+def test_salted_join_keeps_broadcast(spark, sf_dir):
+    p = plan_of(Q.q_pip_pairs_salted(spark, sf_dir))
+    assert "BroadcastHashJoin" in p

@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for the pure kernels — the
+robustness layer the reference's example-based suite lacks."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geoio_jl_spark.functions import geomkernels as K
+from geoio_jl_spark.functions import wkb as W
+from geoio_jl_spark.functions.crs import _lonlat_to_webmerc, _webmerc_to_lonlat
+
+finite = st.floats(allow_nan=False, allow_infinity=False,
+                   min_value=-1e6, max_value=1e6)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(finite, finite), min_size=2, max_size=12))
+def test_linestring_wkb_roundtrip(coords):
+    g = W.linestring(coords)
+    b = W.encode_wkb(g)
+    g2 = W.decode_wkb(b)
+    assert W.encode_wkb(g2) == b
+    np.testing.assert_array_equal(g2.coords, np.asarray(coords, float))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(finite, finite), min_size=3, max_size=10))
+def test_polygon_wkb_roundtrip_closed_on_disk(ring):
+    g = W.polygon(ring)  # open ring; writer must close it
+    g2 = W.decode_wkb(W.encode_wkb(g))
+    disk_ring = g2.coords[g2.rings[0]:g2.rings[1]]
+    assert np.array_equal(disk_ring[0], disk_ring[-1])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(finite, finite), min_size=1, max_size=10))
+def test_normalize_chain_idempotent(coords):
+    arr = np.asarray(coords, float)
+    c1, closed1 = W.normalize_chain(arr)
+    c2, closed2 = W.normalize_chain(np.vstack([c1, c1[:1]]) if closed1 else c1)
+    assert closed1 == closed2
+    np.testing.assert_array_equal(c1, c2)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.floats(min_value=-179.9, max_value=179.9),
+       st.floats(min_value=-84.9, max_value=84.9))
+def test_webmercator_inverse(lon, lat):
+    x, y = _lonlat_to_webmerc(np.array([lon]), np.array([lat]))
+    lon2, lat2 = _webmerc_to_lonlat(x, y)
+    assert abs(lon2[0] - lon) < 1e-9
+    assert abs(lat2[0] - lat) < 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=0, max_value=35999),
+       st.integers(min_value=0, max_value=16999),
+       st.integers(min_value=0, max_value=5))
+def test_cell_cover_contains_point_cell(lon_i, lat_i, res):
+    """Any point inside a bbox lands in one of the bbox's covering cells
+    (the correctness precondition of every coarse spatial join)."""
+    from geoio_jl_spark import dialect as D
+    e = D.cell_edge_centideg(res)
+    cx, cy = lon_i // e, lat_i // e
+    # bbox that contains the point
+    minx, maxx = max(lon_i - 37, 0), lon_i + 91
+    miny, maxy = max(lat_i - 53, 0), lat_i + 17
+    cover = {(x, y)
+             for x in range(minx // e, maxx // e + 1)
+             for y in range(miny // e, maxy // e + 1)}
+    assert (cx, cy) in cover
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 100), st.integers(0, 100)),
+                min_size=3, max_size=8),
+       st.integers(0, 100), st.integers(0, 100))
+def test_containment_matches_matplotlib_free_reference(ring, px, py):
+    """Ray casting kernel vs an independent winding-number reference for
+    non-degenerate simple polygons (skip self-intersecting rings)."""
+    arr = np.asarray(ring, float)
+    if len(np.unique(arr, axis=0)) < 3:
+        return
+    g = W.polygon(ring + [ring[0]])
+    got = K.points_in_geom(np.array([float(px)]), np.array([float(py)]), g)[0]
+    # reference: exact integer even-odd count implemented independently
+    closed = ring + [ring[0]]
+    inside = False
+    on_edge = False
+    for (x1, y1), (x2, y2) in zip(closed[:-1], closed[1:]):
+        cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        if (cross == 0 and min(x1, x2) <= px <= max(x1, x2)
+                and min(y1, y2) <= py <= max(y1, y2)):
+            on_edge = True
+        if (y1 <= py) != (y2 <= py):
+            xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+            if xint > px:
+                inside = not inside
+    assert got == (inside or on_edge)
