@@ -1,0 +1,72 @@
+"""Dedup operator API: planted exact and near duplicates must be found
+(recall checks over a synthetic corpus)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geoio_jl_spark.datagen import doc_text
+from geoio_jl_spark.operators import dedup as DD
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """400 base docs + 30 exact copies + 30 near-dups (one token changed)."""
+    rows = []
+    for i in range(400):
+        rows.append((i, doc_text(i)))
+    for k in range(30):  # exact copies
+        rows.append((1000 + k, doc_text(k)))
+    for k in range(30):  # near-dups: swap one middle token
+        toks = doc_text(100 + k).split(" ")
+        toks[len(toks) // 2] = "zzz"
+        rows.append((2000 + k, " ".join(toks)))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])).persist()
+
+
+def test_exact_duplicates_found(spark, corpus):
+    dups = DD.exact_duplicates(corpus).collect()
+    assert len(dups) == 30
+    assert all(r["n_copies"] == 2 for r in dups)
+    assert {r["keep_id"] for r in dups} == set(range(30))  # min id kept
+
+
+def test_minhash_lsh_finds_planted_pairs(spark, corpus):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in DD.minhash_lsh_pairs(corpus).collect()}
+    exact_found = sum((k, 1000 + k) in pairs for k in range(30))
+    near_found = sum((100 + k, 2000 + k) in pairs for k in range(30))
+    assert exact_found == 30          # identical docs always collide
+    assert near_found >= 25           # 1-token edits: high recall
+
+
+def test_ngram_jaccard_ranks_planted_pairs_high(spark, corpus):
+    pairs = {(r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+             for r in DD.ngram_jaccard_pairs(corpus).collect()}
+    for k in range(30):
+        inter, uni = pairs[(k, 1000 + k)]
+        assert inter == uni  # exact copies: jaccard 1
+    hits = 0
+    for k in range(30):
+        p = pairs.get((100 + k, 2000 + k))
+        if p and p[0] * 2 >= p[1]:  # jaccard >= 0.5
+            hits += 1
+    assert hits >= 25
+
+
+def test_simhash_hamming_close_for_near_dups(spark, corpus):
+    sig = {r["doc_id"]: r["simhash"]
+           for r in DD.simhash_signatures(corpus).collect()}
+    # exact copies: identical signature
+    assert all(sig[k] == sig[1000 + k] for k in range(30))
+    # near dups: hamming distance <= 6 of 32 bits for most
+    close = sum(
+        bin(sig[100 + k] ^ sig[2000 + k]).count("1") <= 6 for k in range(30))
+    assert close >= 25
+
+
+def test_minhash_signatures_deterministic(spark, corpus):
+    a = DD.minhash_signatures(corpus.repartition(3)).collect()
+    b = DD.minhash_signatures(corpus.repartition(7)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
