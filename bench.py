@@ -109,12 +109,18 @@ def run_scaling() -> None:
     interleaved best-of-K probes (the host VM has heavy co-tenant noise —
     interleaving cancels drift, best-of cuts through stall events) →
     BENCH/BASELINE.md."""
-    lo = int(os.environ.get("GEOIO_SCALE_LO", "2"))
+    # default pairing 1 vs 4 cores: the host VM oversubscribes above ~8
+    # busy cores (see docs/SKEW.md + BENCH notes), and the 1-core baseline
+    # is the only phase-stable measurement; any N vs 4N satisfies the
+    # driver's two-cluster-size instruction
+    lo = int(os.environ.get("GEOIO_SCALE_LO", "1"))
     hi = 4 * lo
     rounds = int(os.environ.get("GEOIO_SCALE_ROUNDS", "4"))
+    # 8M docs so per-level compute dwarfs fixed job overhead (the fused
+    # extraction kernel made 2M too fast at the high level)
     pages = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "bench_data", "webpages_2m.parquet")
-    ensure_pages(2_000_000, pages)
+                         "bench_data", "webpages_8m.parquet")
+    ensure_pages(8_000_000, pages)
     probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "tools", "scaling_probe.py")
     times: dict[int, list[float]] = {lo: [], hi: []}
@@ -137,8 +143,8 @@ def run_scaling() -> None:
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH baseline — measured scaling evidence
 
-Flagship pipeline (scan pages parquet → Arrow-vectorized html→text
-extraction → JVM geotag parse → cell assignment → salted point-in-polygon
+Flagship pipeline (scan pages parquet → fused Arrow extraction
+kernel (html→text + geotag in one crossing) → cell assignment → salted point-in-polygon
 join → per-polygon agg) on {n_docs} materialized skewed docs; identical
 input at two parallelism levels (sandbox proxy for N vs 4N executors per
 driver instruction). Probes interleaved across levels, best-of-{rounds}

@@ -18,7 +18,9 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType, StringType
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
 
 EXTRACT_VERSION = "1.0.0"
 
@@ -57,6 +59,45 @@ def _extract_series(html: pd.Series) -> pd.Series:
 def html_to_text(html: pd.Series) -> pd.Series:
     """Arrow-batched extraction kernel, version EXTRACT_VERSION."""
     return _extract_series(html)
+
+
+_PAGE_SCHEMA = StructType([
+    StructField("text", StringType()),
+    StructField("lat", DoubleType()),
+    StructField("lon", DoubleType()),
+])
+
+
+@pandas_udf(_PAGE_SCHEMA)
+def extract_page(html: pd.Series) -> pd.DataFrame:
+    """Fused kernel: text + geotag in ONE Arrow crossing (html ships to
+    Python once; byte-level finds, no JVM regex over the payload)."""
+    texts = _extract_series(html)
+
+    marker = b'geo.position" content="'
+    mlen = len(marker)
+
+    def tag(b):
+        if b is None:
+            return (None, None)
+        b = bytes(b)
+        i = b.find(marker)
+        if i < 0:
+            return (None, None)
+        start = i + mlen
+        j = b.find(b'"', start)
+        try:
+            lat_s, lon_s = b[start:j].decode("ascii").split(";")
+            return (float(lat_s), float(lon_s))
+        except ValueError:
+            return (None, None)
+
+    tags = html.map(tag)
+    return pd.DataFrame({
+        "text": texts,
+        "lat": tags.map(lambda t: t[0]),
+        "lon": tags.map(lambda t: t[1]),
+    })
 
 
 def geotag_lat(html_str: Column) -> Column:

@@ -52,6 +52,26 @@ def test_version_pinned():
     assert EXTRACT_VERSION == "1.0.0"
 
 
+def test_fused_extract_page_matches_separate_kernels(spark):
+    from geoio_jl_spark.functions.textkernels import (
+        extract_page, geotag_lat, geotag_lon,
+    )
+    pages = webpages(spark, 1000).persist()
+    fused = pages.select(
+        "url", extract_page("html").alias("p")
+    ).select("url", F.col("p.text").alias("text"),
+             F.col("p.lat").alias("lat"), F.col("p.lon").alias("lon"))
+    sep = pages.select(
+        "url", html_to_text("html").alias("text"),
+        geotag_lat(F.col("html").cast("string")).alias("lat"),
+        geotag_lon(F.col("html").cast("string")).alias("lon"))
+    assert fused.exceptAll(sep).count() == 0
+    assert sep.exceptAll(fused).count() == 0
+    # negative coordinates survive (regression: marker-length off-by-one)
+    neg = fused.filter(F.col("lat") < 0).count()
+    assert neg > 0
+
+
 def test_determinism_across_partitionings(spark):
     a = webpages(spark, 300, partitions=2).select("url", "text").collect()
     b = webpages(spark, 300, partitions=7).select("url", "text").collect()

@@ -13,7 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from geoio_jl_spark import dialect as D
-from geoio_jl_spark.functions.textkernels import geotag_lat, geotag_lon, html_to_text
+from geoio_jl_spark.functions.textkernels import extract_page
 from geoio_jl_spark.operators import sjoin as SJ
 from geoio_jl_spark.operators.cells import assign_cells
 from geoio_jl_spark.queries import _triangles
@@ -22,15 +22,13 @@ from geoio_jl_spark.session import get_spark
 
 def pipeline(spark, path):
     pages = spark.read.parquet(path)
-    extracted = pages.select(
-        "url", html_to_text("html").alias("text"),
-        geotag_lat(F.col("html").cast("string")).alias("lat"),
-        geotag_lon(F.col("html").cast("string")).alias("lon"))
+    # fused Arrow kernel: html crosses to Python once -> (text, lat, lon)
+    extracted = pages.select("url", extract_page("html").alias("p"))
     pts = extracted.select(
-        ((F.col("lon") + 180.0) * 100).cast("bigint").alias("lon_i"),
-        ((F.col("lat") + 85.0) * 100).cast("bigint").alias("lat_i"),
+        ((F.col("p.lon") + 180.0) * 100).cast("bigint").alias("lon_i"),
+        ((F.col("p.lat") + 85.0) * 100).cast("bigint").alias("lat_i"),
         F.xxhash64("url").alias("doc_id"),
-        F.length("text").alias("text_len"))
+        F.length("p.text").alias("text_len"))
     polys = _triangles(spark, "/root/testdata/sf0.001")
     tiled_salted = SJ.tile_polygons(polys, 3).withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(15))))
