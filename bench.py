@@ -86,6 +86,18 @@ def run_headline(sf_dir: str, cores: int) -> dict:
         "cores": cores,
     }
     spark.stop()
+    # second reference point at 8 cores in a fresh process: the shared
+    # host VM oversubscribes beyond ~8-16 busy cores (BENCH/BASELINE.md),
+    # so the at-`cores` figure above can understate engine capability
+    try:
+        probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tools", "scaling_probe.py")
+        p = subprocess.run([sys.executable, probe, "8", pages, "2"],
+                           capture_output=True, text=True, timeout=600)
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+        out["docs_per_sec_8c"] = json.loads(line)["docs_per_sec"]
+    except Exception:
+        pass
     return out
 
 
