@@ -348,7 +348,8 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_STATS = f"""
 SELECT lang, count(*) AS n_docs,
-       sum(n_tok) AS total_tokens, sum(n_chr) AS total_chars,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chr) AS BIGINT) AS total_chars,
        min(n_tok) AS min_tokens, max(n_tok) AS max_tokens
 FROM (SELECT lang, len({D.tokens_sql('text', 'duckdb')}) AS n_tok,
              length(text) AS n_chr FROM documents)
@@ -605,7 +606,7 @@ bits AS (
   FROM hh, (SELECT unnest(generate_series(0, 31)) AS bit)
 ), votes AS (SELECT doc_id, bit, sum(w) AS v FROM bits GROUP BY 1, 2)
 SELECT doc_id,
-       sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """
 
@@ -684,7 +685,7 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENTS_WINDOW = """
 SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
        count(*) AS n_events,
-       sum(CAST(floor(value * 1000000) AS BIGINT)) AS value_sum_e6
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_sum_e6
 FROM events GROUP BY 1, 2
 """
 
@@ -823,7 +824,8 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EVENTS_ROLLUP = """
-SELECT event_type, hour_bucket, count(*) AS n, sum(v_e6) AS v_sum_e6
+SELECT event_type, hour_bucket, count(*) AS n,
+       CAST(sum(v_e6) AS BIGINT) AS v_sum_e6
 FROM (SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
              CAST(floor(value * 1000000) AS BIGINT) AS v_e6 FROM events)
 GROUP BY ROLLUP (event_type, hour_bucket)

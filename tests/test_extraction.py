@@ -72,6 +72,23 @@ def test_fused_extract_page_matches_separate_kernels(spark):
     assert neg > 0
 
 
+def test_rolling_fingerprint(spark):
+    from geoio_jl_spark.functions.textkernels import rolling_fingerprint
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame({
+        "text": ["hello world", "hello world", "hello worle", None]}))
+    fps = [r["fp"] for r in
+           df.select(rolling_fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]          # identical text -> identical fingerprint
+    assert fps[0] != fps[2]          # one-char change -> different
+    assert fps[3] is None
+    # reference value computed independently
+    MOD, BASE, h = (1 << 61) - 1, 257, 0
+    for b in b"hello world":
+        h = (h * BASE + b) % MOD
+    assert fps[0] == h
+
+
 def test_determinism_across_partitionings(spark):
     a = webpages(spark, 300, partitions=2).select("url", "text").collect()
     b = webpages(spark, 300, partitions=7).select("url", "text").collect()
