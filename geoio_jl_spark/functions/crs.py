@@ -68,14 +68,105 @@ _TRANSFORMS = {
     ("EPSG:3857", "OGC:CRS84"): _webmerc_to_lonlat,
 }
 
+# ---------------------------------------------------------------------------
+# Transverse Mercator (UTM) — Krüger series on the WGS84 ellipsoid
+# (the reference's Projected/UTM family, resolved via PROJ there; here a
+# from-scratch 3rd-order-in-n series, sub-mm over a UTM zone)
+# ---------------------------------------------------------------------------
+
+_F = 1.0 / 298.257223563
+_E2 = _F * (2.0 - _F)
+_E = np.sqrt(_E2)
+_N = _F / (2.0 - _F)
+_A_BAR = R_WGS84 / (1.0 + _N) * (1.0 + _N ** 2 / 4.0 + _N ** 4 / 64.0)
+_K0 = 0.9996
+_ALPHA = [
+    _N / 2.0 - 2.0 * _N ** 2 / 3.0 + 5.0 * _N ** 3 / 16.0,
+    13.0 * _N ** 2 / 48.0 - 3.0 * _N ** 3 / 5.0,
+    61.0 * _N ** 3 / 240.0,
+]
+_BETA = [
+    _N / 2.0 - 2.0 * _N ** 2 / 3.0 + 37.0 * _N ** 3 / 96.0,
+    _N ** 2 / 48.0 + _N ** 3 / 15.0,
+    17.0 * _N ** 3 / 480.0,
+]
+_DELTA = [
+    2.0 * _N - 2.0 * _N ** 2 / 3.0 - 2.0 * _N ** 3,
+    7.0 * _N ** 2 / 3.0 - 8.0 * _N ** 3 / 5.0,
+    56.0 * _N ** 3 / 15.0,
+]
+
+
+def _lonlat_to_utm(zone: int, south: bool):
+    lon0 = np.radians(zone * 6.0 - 183.0)
+
+    def fwd(lon: np.ndarray, lat: np.ndarray):
+        lam = np.radians(np.asarray(lon, float)) - lon0
+        phi = np.radians(np.asarray(lat, float))
+        s = np.sin(phi)
+        t = np.sinh(np.arctanh(s) - _E * np.arctanh(_E * s))
+        xi_p = np.arctan2(t, np.cos(lam))
+        eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+        xi, eta = xi_p.copy(), eta_p.copy()
+        for j, a in enumerate(_ALPHA, start=1):
+            xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+            eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+        E = 500000.0 + _K0 * _A_BAR * eta
+        Nn = _K0 * _A_BAR * xi + (10000000.0 if south else 0.0)
+        return E, Nn
+
+    return fwd
+
+
+def _utm_to_lonlat(zone: int, south: bool):
+    lon0 = np.radians(zone * 6.0 - 183.0)
+
+    def inv(E: np.ndarray, Nn: np.ndarray):
+        xi = (np.asarray(Nn, float) - (10000000.0 if south else 0.0)) / (_K0 * _A_BAR)
+        eta = (np.asarray(E, float) - 500000.0) / (_K0 * _A_BAR)
+        xi_p, eta_p = xi.copy(), eta.copy()
+        for j, b in enumerate(_BETA, start=1):
+            xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+        phi = chi.copy()
+        for j, d in enumerate(_DELTA, start=1):
+            phi += d * np.sin(2 * j * chi)
+        lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+        return np.degrees(lam + lon0), np.degrees(phi)
+
+    return inv
+
+
+def _parse_utm(crs: str):
+    """EPSG:326xx (north) / EPSG:327xx (south) → (zone, south)."""
+    if not crs.startswith("EPSG:"):
+        return None
+    try:
+        code = int(crs.split(":")[1])
+    except ValueError:
+        return None
+    if 32601 <= code <= 32660:
+        return code - 32600, False
+    if 32701 <= code <= 32760:
+        return code - 32700, True
+    return None
+
 
 def get_transform(src: str, dst: str):
     if src == dst:
         return lambda a, b: (a, b)
     fn = _TRANSFORMS.get((src, dst))
-    if fn is None:
-        raise ValueError(f"no transform registered for {src} -> {dst}")
-    return fn
+    if fn is not None:
+        return fn
+    geographic = ("EPSG:4326", "OGC:CRS84")
+    utm = _parse_utm(dst)
+    if src in geographic and utm is not None:
+        return _lonlat_to_utm(*utm)
+    utm = _parse_utm(src)
+    if utm is not None and dst in geographic:
+        return _utm_to_lonlat(*utm)
+    raise ValueError(f"no transform registered for {src} -> {dst}")
 
 
 # ---------------------------------------------------------------------------

@@ -31,6 +31,42 @@ def test_transform_roundtrip_closure():
     np.testing.assert_allclose(lat2, lat, atol=1e-9)
 
 
+def test_utm_anchor_values():
+    # central meridian of zone 32 (lon=9): easting exactly 500000
+    fwd = C.get_transform("EPSG:4326", "EPSG:32632")
+    E, N = fwd(np.array([9.0]), np.array([50.0]))
+    assert abs(E[0] - 500000.0) < 1e-6
+    # northing on CM = k0 * meridian arc; independent arc series check
+    f = 1 / 298.257223563
+    n = f / (2 - f)
+    a_bar = 6378137.0 / (1 + n) * (1 + n**2 / 4 + n**4 / 64)
+    phi = np.radians(50.0)
+    arc = a_bar * (phi
+                   + (-3 * n / 2 + 9 * n**3 / 16) * np.sin(2 * phi)
+                   + (15 * n**2 / 16 - 15 * n**4 / 32) * np.sin(4 * phi)
+                   + (-35 * n**3 / 48) * np.sin(6 * phi))
+    assert abs(N[0] - 0.9996 * arc) < 1e-3
+    # equator/CM origin
+    E0, N0 = fwd(np.array([9.0]), np.array([0.0]))
+    assert abs(E0[0] - 500000.0) < 1e-6 and abs(N0[0]) < 1e-6
+
+
+def test_utm_roundtrip_closure_and_south():
+    rng = np.random.RandomState(5)
+    lon = 9.0 + rng.uniform(-2.9, 2.9, 500)   # inside zone 32
+    lat = rng.uniform(-79, 83, 500)
+    E, N = C.get_transform("EPSG:4326", "EPSG:32632")(lon, lat)
+    lon2, lat2 = C.get_transform("EPSG:32632", "EPSG:4326")(E, N)
+    np.testing.assert_allclose(lon2, lon, atol=1e-8)
+    np.testing.assert_allclose(lat2, lat, atol=1e-8)
+    # south zone: false northing 10,000,000
+    Es, Ns = C.get_transform("EPSG:4326", "EPSG:32732")(
+        np.array([9.0]), np.array([-30.0]))
+    assert Ns[0] > 6_000_000
+    lon3, lat3 = C.get_transform("EPSG:32732", "EPSG:4326")(Es, Ns)
+    assert abs(lat3[0] + 30.0) < 1e-8
+
+
 def test_unknown_transform_raises():
     with pytest.raises(ValueError, match="no transform"):
         C.get_transform("EPSG:4326", "EPSG:9999")
