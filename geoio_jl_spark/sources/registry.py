@@ -43,6 +43,8 @@ FORMATS = {
     ".msh": (msh.read, msh.write, "mesh", "Gmsh 4.1, tag remap + data cols"),
     ".vtu": (vtk.read_vtu, vtk.write_vtu, "mesh", "VTK XML unstructured (+pixel/voxel reorder)"),
     ".vti": (vtk.read_vti, vtk.write_vti, "grid", "VTK XML image (mask -> SubGrid)"),
+    ".vtr": (vtk.read_vtr, vtk.write_vtr, "grid", "VTK XML rectilinear (axis vectors)"),
+    ".vts": (vtk.read_vts, vtk.write_vts, "grid", "VTK XML structured (curvilinear)"),
 }
 
 

@@ -114,6 +114,105 @@ def write_vtu(vertices: DataFrame, elements: DataFrame, path: str) -> None:
 
 
 # ---------------------------------------------------------------------------
+# .vtr — RectilinearGrid ↔ long cell table (per-axis coordinate vectors,
+#        the cdm.jl:61-67 / vtk/read.jl:83-98 shape)
+# ---------------------------------------------------------------------------
+
+def read_vtr(spark: SparkSession, path: str) -> DataFrame:
+    root = ET.parse(path).getroot()
+    grid = root.find("RectilinearGrid")
+    piece = grid.find("Piece")
+    coords = piece.find("Coordinates")
+    arrays = coords.findall("DataArray")
+    xs = _parse_array(arrays[0])
+    ys = _parse_array(arrays[1])
+    # point coordinates delimit cells: nx = len(xs)-1 cells per row
+    nx, ny = max(len(xs) - 1, 1), max(len(ys) - 1, 1)
+    cell = np.arange(nx * ny, dtype=np.int64)
+    i = cell % nx
+    j = cell // nx
+    pdf = pd.DataFrame({
+        "cell_id": cell, "i": i, "j": j,
+        "x": (xs[i] + xs[i + 1]) / 2.0 if len(xs) > 1 else xs[i],
+        "y": (ys[j] + ys[j + 1]) / 2.0 if len(ys) > 1 else ys[j],
+    })
+    for a in piece.findall("CellData/DataArray"):
+        pdf[a.get("Name")] = _parse_array(a)
+    return spark.createDataFrame(pdf)
+
+
+def write_vtr(df: DataFrame, path: str, xs: list, ys: list,
+              value_cols: list[str] | None = None) -> None:
+    pdf = df.toPandas().sort_values("cell_id")
+    nx, ny = len(xs) - 1, len(ys) - 1
+    if len(pdf) != nx * ny:
+        raise ValueError("write_vtr needs the complete rectilinear grid")
+    if value_cols is None:
+        value_cols = [c for c in pdf.columns
+                      if c not in ("cell_id", "i", "j", "x", "y")]
+    root = ET.Element("VTKFile", {"type": "RectilinearGrid", "version": "1.0",
+                                  "byte_order": "LittleEndian"})
+    grid = ET.SubElement(root, "RectilinearGrid",
+                         {"WholeExtent": f"0 {nx} 0 {ny} 0 0"})
+    piece = ET.SubElement(grid, "Piece", {"Extent": f"0 {nx} 0 {ny} 0 0"})
+    coords = ET.SubElement(piece, "Coordinates")
+    _data_array(coords, "x", xs)
+    _data_array(coords, "y", ys)
+    _data_array(coords, "z", [0.0])
+    cdata = ET.SubElement(piece, "CellData")
+    for c in value_cols:
+        _data_array(cdata, c, pdf[c])
+    ET.ElementTree(root).write(path, xml_declaration=True)
+
+
+# ---------------------------------------------------------------------------
+# .vts — StructuredGrid (full point-coordinate arrays, curvilinear;
+#        vtk/read.jl:100-116)
+# ---------------------------------------------------------------------------
+
+def read_vts(spark: SparkSession, path: str) -> DataFrame:
+    root = ET.parse(path).getroot()
+    piece = root.find("StructuredGrid/Piece")
+    extent = [int(x) for x in piece.get("Extent").split()]
+    npx = extent[1] - extent[0] + 1  # points per row
+    pts = _parse_array(piece.find("Points/DataArray"))
+    vid = np.arange(len(pts), dtype=np.int64)
+    pdf = pd.DataFrame({
+        "point_id": vid,
+        "i": vid % npx, "j": vid // npx,
+        "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
+    })
+    for a in piece.findall("PointData/DataArray"):
+        pdf[a.get("Name")] = _parse_array(a)
+    return spark.createDataFrame(pdf)
+
+
+def write_vts(df: DataFrame, path: str, npx: int, npy: int,
+              value_cols: list[str] | None = None) -> None:
+    pdf = df.toPandas().sort_values("point_id")
+    if len(pdf) != npx * npy:
+        raise ValueError("write_vts needs the complete structured grid")
+    if value_cols is None:
+        value_cols = [c for c in pdf.columns
+                      if c not in ("point_id", "i", "j", "x", "y", "z")]
+    root = ET.Element("VTKFile", {"type": "StructuredGrid", "version": "1.0",
+                                  "byte_order": "LittleEndian"})
+    grid = ET.SubElement(root, "StructuredGrid",
+                         {"WholeExtent": f"0 {npx - 1} 0 {npy - 1} 0 0"})
+    piece = ET.SubElement(grid, "Piece",
+                          {"Extent": f"0 {npx - 1} 0 {npy - 1} 0 0"})
+    points = ET.SubElement(piece, "Points")
+    _data_array(points, "Points",
+                pdf[["x", "y", "z"]].to_numpy() if "z" in pdf.columns
+                else np.column_stack([pdf["x"], pdf["y"],
+                                      np.zeros(len(pdf))]), 3)
+    pdata = ET.SubElement(piece, "PointData")
+    for c in value_cols:
+        _data_array(pdata, c, pdf[c])
+    ET.ElementTree(root).write(path, xml_declaration=True)
+
+
+# ---------------------------------------------------------------------------
 # .vti — ImageData ↔ long cell table (+ optional mask)
 # ---------------------------------------------------------------------------
 

@@ -72,6 +72,50 @@ def test_vti_mask_subgrid_roundtrip(spark, tmp_path):
     assert a == b  # mask -> fill -> mask round trip
 
 
+def test_vtr_roundtrip(spark, tmp_path):
+    xs = [0.0, 1.0, 3.0, 6.0]   # rectilinear (non-uniform) axes
+    ys = [10.0, 20.0, 40.0]
+    from geoio_jl_spark.operators.raster import rectilinear_cells
+    import pandas as pd
+    # cell-centered values over a 3x2 cell grid
+    cells = spark.createDataFrame(pd.DataFrame({
+        "cell_id": range(6), "i": [0, 1, 2, 0, 1, 2], "j": [0, 0, 0, 1, 1, 1],
+        "x": [0.5, 2.0, 4.5] * 2, "y": [15.0] * 3 + [30.0] * 3,
+        "val": [float(v) for v in range(6)],
+    }))
+    path = str(tmp_path / "g.vtr")
+    vtk.write_vtr(cells, path, xs=xs, ys=ys, value_cols=["val"])
+    back = vtk.read_vtr(spark, path)
+    rows = {r["cell_id"]: r for r in back.collect()}
+    assert len(rows) == 6
+    assert rows[1]["x"] == 2.0 and rows[4]["y"] == 30.0  # midpoints
+    assert rows[5]["val"] == 5.0
+
+
+def test_vts_roundtrip_curvilinear(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+    npx, npy = 4, 3
+    vid = np.arange(npx * npy)
+    i, j = vid % npx, vid // npx
+    # curvilinear: sheared coordinates
+    pdf = pd.DataFrame({
+        "point_id": vid, "i": i, "j": j,
+        "x": i + 0.3 * j, "y": j + 0.1 * i, "z": np.zeros(len(vid)),
+        "temp": vid * 1.5,
+    })
+    path = str(tmp_path / "g.vts")
+    vtk.write_vts(spark.createDataFrame(pdf), path, npx=npx, npy=npy,
+                  value_cols=["temp"])
+    back = vtk.read_vts(spark, path)
+    rows = {r["point_id"]: r for r in back.collect()}
+    assert len(rows) == 12
+    assert rows[5]["x"] == 1 + 0.3 * 1 and rows[5]["temp"] == 7.5
+    # degenerate-axis detection works on the curvilinear table (A5)
+    from geoio_jl_spark.operators.raster import degenerate_axes
+    assert degenerate_axes(back, ["x", "y", "z"]) == ["z"]
+
+
 def test_vti_rejects_incomplete(spark, tmp_path):
     grid = grid_cells(spark, GridSpec(nx=3, ny=3)).filter("cell_id < 5") \
         .withColumn("v", F.lit(1.0))
