@@ -54,8 +54,14 @@ def point_in_polygon_join(
     pts = assign_cells(points, px, py, res)
     if broadcast_polygons is None:
         # UDF-bearing plans can defeat AQE's size estimate (SURVEY.md §4.3):
-        # decide explicitly from a cheap count on the (small) polygon side.
-        broadcast_polygons = tiled.count() <= 1_000_000
+        # decide explicitly. First a cheap count of the *un-tiled* polygon
+        # side; only when that's small do we pay for the exact tile count
+        # (a huge polygon table never computes its tiling twice).
+        n_polys = polygons.count()
+        if n_polys > 100_000:
+            broadcast_polygons = False
+        else:
+            broadcast_polygons = tiled.count() <= 1_000_000
     right = F.broadcast(tiled) if broadcast_polygons else tiled
     joined = pts.join(right, "cell_id")
     if refine is not None:

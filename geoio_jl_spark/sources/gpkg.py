@@ -118,22 +118,25 @@ def read(spark: SparkSession, path: str, layer: int = 1,
             )
         meta = layers[layer - 1]  # LIMIT 1 OFFSET layer-1 (gpkg.jl:94)
         tbl, gcol = meta["table"], meta["geometry_column"]
-        pdf = pd.read_sql_query(f'SELECT * FROM "{tbl}"', con)
+        # chunked read: big layers never materialize twice on the driver
+        chunks = []
+        for pdf in pd.read_sql_query(f'SELECT * FROM "{tbl}"', con,
+                                     chunksize=100_000):
+            pdf[gcol] = [
+                None if blob is None else decode_gpkg_blob(bytes(blob))[0]
+                for blob in pdf[gcol]
+            ]
+            chunks.append(pdf)
     finally:
         con.close()
     srs = resolve_srs(
         meta["org_id"] if meta["org_id"] is not None else meta["srs_id"],
         meta["organization"] or "EPSG",
     )
-    wkbs = []
-    for blob in pdf[gcol]:
-        if blob is None:
-            wkbs.append(None)
-        else:
-            inner, _sid = decode_gpkg_blob(bytes(blob))
-            wkbs.append(inner)
-    pdf[gcol] = wkbs
-    df = spark.createDataFrame(pdf)
+    df = None
+    for pdf in chunks or [pd.DataFrame({gcol: []})]:
+        part = spark.createDataFrame(pdf)
+        df = part if df is None else df.unionByName(part)
     return with_geo_metadata(df, GeoSchema(geometry_column=gcol, crs=srs))
 
 
