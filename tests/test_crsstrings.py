@@ -1,0 +1,94 @@
+"""WKT2 → PROJJSON conversion (reference test/crsstrings.jl model:
+differential against pinned expected documents for common codes)."""
+
+import pytest
+
+from geoio_jl_spark.functions.crsstrings import (
+    parse_wkt2,
+    projjson_code,
+    wkt2_to_projjson,
+)
+
+WKT_4326 = """GEOGCRS["WGS 84",
+  ENSEMBLE["World Geodetic System 1984 ensemble",
+    MEMBER["World Geodetic System 1984 (Transit)", ID["EPSG",1166]],
+    MEMBER["World Geodetic System 1984 (G730)", ID["EPSG",1152]],
+    ELLIPSOID["WGS 84",6378137,298.257223563, LENGTHUNIT["metre",1]],
+    ENSEMBLEACCURACY[2.0]],
+  CS[ellipsoidal,2],
+  AXIS["geodetic latitude (Lat)",north, ANGLEUNIT["degree",0.0174532925199433]],
+  AXIS["geodetic longitude (Lon)",east, ANGLEUNIT["degree",0.0174532925199433]],
+  ID["EPSG",4326]]"""
+
+WKT_32632 = """PROJCRS["WGS 84 / UTM zone 32N",
+  BASEGEOGCRS["WGS 84",
+    DATUM["World Geodetic System 1984",
+      ELLIPSOID["WGS 84",6378137,298.257223563, LENGTHUNIT["metre",1]]],
+    PRIMEM["Greenwich",0], ID["EPSG",4326]],
+  CONVERSION["UTM zone 32N",
+    METHOD["Transverse Mercator", ID["EPSG",9807]],
+    PARAMETER["Latitude of natural origin",0, ANGLEUNIT["degree",0.0174532925199433]],
+    PARAMETER["Longitude of natural origin",9, ANGLEUNIT["degree",0.0174532925199433]],
+    PARAMETER["Scale factor at natural origin",0.9996, SCALEUNIT["unity",1]],
+    PARAMETER["False easting",500000, LENGTHUNIT["metre",1]],
+    PARAMETER["False northing",0, LENGTHUNIT["metre",1]]],
+  CS[Cartesian,2],
+  AXIS["(E)",east, LENGTHUNIT["metre",1]],
+  AXIS["(N)",north, LENGTHUNIT["metre",1]],
+  ID["EPSG",32632]]"""
+
+
+def test_parser_structure():
+    node = parse_wkt2(WKT_4326)
+    assert node.keyword == "GEOGCRS"
+    assert node.args[0] == "WGS 84"
+    ens = node.child("ENSEMBLE")
+    assert len(ens.children("MEMBER")) == 2
+    assert node.child("ID").args == ["EPSG", 4326]
+
+
+def test_parser_quoted_escapes_and_numbers():
+    node = parse_wkt2('FOO["a""b", -1.5e3, BAR[2]]')
+    assert node.args[0] == 'a"b'
+    assert node.args[1] == -1500.0
+    assert node.child("BAR").args == [2]
+
+
+def test_geogcrs_projjson():
+    doc = wkt2_to_projjson(WKT_4326)
+    assert doc["type"] == "GeographicCRS"
+    assert doc["name"] == "WGS 84"
+    de = doc["datum_ensemble"]
+    assert de["ellipsoid"]["semi_major_axis"] == 6378137
+    assert de["ellipsoid"]["inverse_flattening"] == 298.257223563
+    assert len(de["members"]) == 2
+    assert de["accuracy"] == "2.0"
+    cs = doc["coordinate_system"]
+    assert cs["subtype"] == "ellipsoidal"
+    assert [a["direction"] for a in cs["axis"]] == ["north", "east"]
+    assert cs["axis"][0]["abbreviation"] == "Lat"
+    assert doc["id"] == {"authority": "EPSG", "code": 4326}
+    assert projjson_code(doc) == "EPSG:4326"
+
+
+def test_projcrs_projjson():
+    doc = wkt2_to_projjson(WKT_32632)
+    assert doc["type"] == "ProjectedCRS"
+    assert doc["base_crs"]["datum"]["ellipsoid"]["name"] == "WGS 84"
+    conv = doc["conversion"]
+    assert conv["method"]["id"] == {"authority": "EPSG", "code": 9807}
+    params = {p["name"]: p["value"] for p in conv["parameters"]}
+    assert params["Longitude of natural origin"] == 9
+    assert params["Scale factor at natural origin"] == 0.9996
+    assert params["False easting"] == 500000
+    assert projjson_code(doc) == "EPSG:32632"
+
+
+def test_unsupported_root_raises():
+    with pytest.raises(ValueError, match="unsupported WKT2 root"):
+        wkt2_to_projjson('VERTCRS["x", ID["EPSG",5703]]')
+
+
+def test_code_missing_id_raises():
+    with pytest.raises(ValueError, match="no id"):
+        projjson_code({"type": "GeographicCRS"})
