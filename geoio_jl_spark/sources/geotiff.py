@@ -17,6 +17,7 @@ shape raster ops and the DuckDB oracle consume.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -24,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 T_WIDTH, T_HEIGHT, T_BITS, T_COMPRESSION, T_PHOTO = 256, 257, 258, 259, 262
 T_STRIP_OFFSETS, T_SPP, T_ROWS_PER_STRIP, T_STRIP_COUNTS = 273, 277, 278, 279
-T_PLANAR, T_SAMPLE_FORMAT = 284, 339
+T_PLANAR, T_PREDICTOR, T_SAMPLE_FORMAT = 284, 317, 339
 T_MODEL_PIXEL_SCALE, T_MODEL_TIEPOINT, T_MODEL_TRANSFORM = 33550, 33922, 34264
 T_GEO_KEYS = 34735
 
@@ -83,6 +84,54 @@ def _epsg_from_geokeys(tags) -> str | None:
     return None
 
 
+def _unpackbits(data: bytes) -> bytes:
+    """TIFF PackBits (compression 32773) RLE decode."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += data[i:i + 1] * (257 - n)
+            i += 1
+    return bytes(out)
+
+
+def _decompress_strip(raw: bytes, comp: int) -> bytes:
+    if comp == 1:
+        return raw
+    if comp in (8, 32946):  # Deflate / legacy Deflate
+        return zlib.decompress(raw)
+    if comp == 32773:
+        return _unpackbits(raw)
+    raise ValueError(f"unsupported TIFF compression {comp}")
+
+
+def _unpredict(strip: bytes, pred: int, w: int, s: int, bs: int,
+               dt: np.dtype) -> np.ndarray:
+    """Undo horizontal (2) / floating-point (3, TIFF TechNote3) predictors
+    row-by-row; returns a flat array of samples in row-major order."""
+    row_bytes = w * s * bs
+    rows = len(strip) // row_bytes
+    if pred == 3:
+        # bytes were byte-plane shuffled (all MSBs first) then differenced;
+        # after the cumsum the reassembled stream is big-endian.
+        a = np.frombuffer(strip, np.uint8, rows * row_bytes).reshape(rows, row_bytes)
+        a = np.add.accumulate(a, axis=1, dtype=np.uint8)
+        a = a.reshape(rows, bs, w * s).transpose(0, 2, 1)  # (rows, samples, bytes)
+        return np.ascontiguousarray(a).reshape(rows * w * s * bs) \
+            .view(np.dtype(">" + dt.str[1:])).astype(dt)
+    arr = np.frombuffer(strip, dt, rows * w * s)
+    if pred == 2:
+        a = arr.reshape(rows, w, s).copy()
+        np.add.accumulate(a, axis=1, out=a)
+        return a.reshape(-1)
+    return arr
+
+
 def read_raw(path: str):
     with open(path, "rb") as f:
         buf = f.read()
@@ -92,16 +141,28 @@ def read_raw(path: str):
     spp = tags.get(T_SPP, (1,))[0]
     bits = tags.get(T_BITS, (8,) * spp)
     fmt = tags.get(T_SAMPLE_FORMAT, (1,) * spp)
-    if tags.get(T_COMPRESSION, (1,))[0] != 1:
-        raise ValueError("only uncompressed TIFF supported")
+    comp = tags.get(T_COMPRESSION, (1,))[0]
+    pred = tags.get(T_PREDICTOR, (1,))[0]
+    planar = tags.get(T_PLANAR, (1,))[0]
     dt_map = {(1, 8): "u1", (1, 16): "u2", (1, 32): "u4",
               (2, 8): "i1", (2, 16): "i2", (2, 32): "i4",
               (3, 32): "f4", (3, 64): "f8"}
     dt = np.dtype(e + dt_map[(fmt[0], bits[0])])
     offsets = tags[T_STRIP_OFFSETS]
     counts = tags[T_STRIP_COUNTS]
-    raw = b"".join(buf[o:o + c] for o, c in zip(offsets, counts))
-    arr = np.frombuffer(raw, dt, w * h * spp).reshape(h, w, spp)
+    s = 1 if planar == 2 else spp  # samples per pixel within one strip
+    strips = []
+    for o, c in zip(offsets, counts):
+        strip = _decompress_strip(buf[o:o + c], comp)
+        strips.append(_unpredict(strip, pred, w, s, dt.itemsize, dt))
+    if planar == 2:
+        # strips grouped per plane: plane p occupies strips [p*k, (p+1)*k)
+        k = len(strips) // spp
+        planes = [np.concatenate(strips[p * k:(p + 1) * k])[:w * h].reshape(h, w)
+                  for p in range(spp)]
+        arr = np.stack(planes, axis=2)
+    else:
+        arr = np.concatenate(strips)[:w * h * spp].reshape(h, w, spp)
     A, b = _affine_from_tags(tags)
     return arr, A, b, _epsg_from_geokeys(tags)
 

@@ -42,6 +42,7 @@ FORMATS = {
     ".ply": (ply.read, ply.write, "mesh", "ascii, vtable+etable props"),
     ".msh": (msh.read, msh.write, "mesh", "Gmsh 4.1, tag remap + data cols"),
     ".vtu": (vtk.read_vtu, vtk.write_vtu, "mesh", "VTK XML unstructured (+pixel/voxel reorder)"),
+    ".vtp": (vtk.read_vtp, vtk.write_vtp, "mesh", "VTK XML polydata (Polys as N-gons)"),
     ".vti": (vtk.read_vti, vtk.write_vti, "grid", "VTK XML image (mask -> SubGrid)"),
     ".vtr": (vtk.read_vtr, vtk.write_vtr, "grid", "VTK XML rectilinear (axis vectors)"),
     ".vts": (vtk.read_vts, vtk.write_vts, "grid", "VTK XML structured (curvilinear)"),

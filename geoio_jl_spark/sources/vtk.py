@@ -1,5 +1,8 @@
-"""VTK XML source/sink (reference S15/K12, src/extra/vtk/) — ascii
-.vti (ImageData) and .vtu (UnstructuredGrid) via stdlib xml.etree.
+"""VTK XML source/sink (reference S15/K12, src/extra/vtk/) — .vti
+(ImageData), .vtu (UnstructuredGrid), .vtp (PolyData), .vtr, .vts via
+stdlib xml.etree. Reads ascii, inline-base64 and appended-raw DataArrays,
+including vtkZLibDataCompressor block streams (the encoding every actual
+reference fixture uses); writes ascii.
 
 Semantics carried over:
 - cell-type map (vtk/read.jl:5-15): 3 line, 5 triangle, 9 quad, 10 tetra,
@@ -13,7 +16,9 @@ Semantics carried over:
 
 from __future__ import annotations
 
+import base64
 import xml.etree.ElementTree as ET
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -35,10 +40,66 @@ def _data_array(parent, name: str, values, ncomp: int = 1) -> None:
     el.text = " ".join(repr(float(v)) for v in np.asarray(values).ravel())
 
 
-def _parse_array(el) -> np.ndarray:
-    vals = np.array([float(x) for x in el.text.split()])
-    ncomp = int(el.get("NumberOfComponents", "1"))
-    return vals.reshape(-1, ncomp) if ncomp > 1 else vals
+_VTK_DTYPES = {"Float32": "f4", "Float64": "f8", "Int8": "i1", "UInt8": "u1",
+               "Int16": "i2", "UInt16": "u2", "Int32": "i4", "UInt32": "u4",
+               "Int64": "i8", "UInt64": "u8"}
+
+
+class _VTKDoc:
+    """Parsed VTK XML file + its appended-raw byte stream.
+
+    Handles the three DataArray encodings of the VTK XML spec: ascii,
+    inline base64 ("binary"), and appended raw — with or without
+    vtkZLibDataCompressor block framing (header_type UInt32/UInt64).
+    The raw appended bytes are not valid XML, so the document is split
+    at <AppendedData> before parsing.
+    """
+
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            buf = f.read()
+        ap = buf.find(b"<AppendedData")
+        if ap >= 0:
+            self.root = ET.fromstring(buf[:ap] + b"</VTKFile>")
+            start = buf.index(b"_", buf.index(b">", ap)) + 1
+            end = buf.rindex(b"</AppendedData>")
+            self.appended = buf[start:end]
+        else:
+            self.root = ET.fromstring(buf)
+            self.appended = b""
+        self.byte = ("<" if self.root.get("byte_order", "LittleEndian")
+                     == "LittleEndian" else ">")
+        ht = self.root.get("header_type", "UInt32")
+        self.hdt = np.dtype(self.byte + ("u8" if ht == "UInt64" else "u4"))
+        self.compressed = self.root.get("compressor") is not None
+
+    def _decode(self, raw: bytes) -> bytes:
+        h = self.hdt.itemsize
+        if self.compressed:
+            nb = int(np.frombuffer(raw, self.hdt, 1)[0])
+            sizes = np.frombuffer(raw, self.hdt, 3 + nb)[3:]
+            pos = h * (3 + nb)
+            out = []
+            for s in sizes:
+                out.append(zlib.decompress(raw[pos:pos + int(s)]))
+                pos += int(s)
+            return b"".join(out)
+        n = int(np.frombuffer(raw, self.hdt, 1)[0])
+        return raw[h:h + n]
+
+    def array(self, el) -> np.ndarray:
+        fmt = el.get("format", "ascii")
+        dt = np.dtype(self.byte + _VTK_DTYPES[el.get("type", "Float64")])
+        ncomp = int(el.get("NumberOfComponents", "1"))
+        if fmt == "ascii":
+            vals = np.array([float(x) for x in el.text.split()])
+        elif fmt == "appended":
+            off = int(el.get("offset", "0"))
+            vals = np.frombuffer(self._decode(self.appended[off:]), dt)
+        else:  # inline base64
+            vals = np.frombuffer(self._decode(
+                base64.b64decode("".join(el.text.split()))), dt)
+        return vals.reshape(-1, ncomp) if ncomp > 1 else vals
 
 
 # ---------------------------------------------------------------------------
@@ -46,13 +107,13 @@ def _parse_array(el) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def read_vtu(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
-    root = ET.parse(path).getroot()
-    piece = root.find(".//Piece")
-    pts = _parse_array(piece.find("Points/DataArray"))
+    doc = _VTKDoc(path)
+    piece = doc.root.find(".//Piece")
+    pts = doc.array(piece.find("Points/DataArray"))
     arrays = {a.get("Name"): a for a in piece.findall("Cells/DataArray")}
-    conn = _parse_array(arrays["connectivity"]).astype(np.int64)
-    offsets = _parse_array(arrays["offsets"]).astype(np.int64)
-    types = _parse_array(arrays["types"]).astype(np.int64)
+    conn = doc.array(arrays["connectivity"]).astype(np.int64)
+    offsets = doc.array(arrays["offsets"]).astype(np.int64)
+    types = doc.array(arrays["types"]).astype(np.int64)
     vpdf = pd.DataFrame({
         "vid": np.arange(1, len(pts) + 1),
         "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2]})
@@ -71,12 +132,82 @@ def read_vtu(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
             kind = VTK_KINDS.get(t, f"type{t}")
         erows.append((eid, kind, vids))
     # per-vertex / per-cell data arrays → vtable/etable columns
-    for a in piece.findall("PointData/DataArray"):
-        vpdf[a.get("Name")] = _parse_array(a)
+    _attach_data(vpdf, piece, "PointData", doc)
     epdf = pd.DataFrame(erows, columns=["eid", "kind", "vids"])
-    for a in piece.findall("CellData/DataArray"):
-        epdf[a.get("Name")] = _parse_array(a)
+    _attach_data(epdf, piece, "CellData", doc)
     return spark.createDataFrame(vpdf), spark.createDataFrame(epdf)
+
+
+def _attach_data(pdf: pd.DataFrame, piece, section: str, doc: _VTKDoc) -> None:
+    """PointData/CellData arrays → columns; multi-component arrays become
+    one list column (reference _asvector, vtk/read.jl:221-238)."""
+    for a in piece.findall(f"{section}/DataArray"):
+        vals = doc.array(a)
+        if vals.dtype.kind == "u":  # Arrow rejects unsigned ints
+            vals = vals.astype(np.int64)
+        if vals.ndim == 2:
+            pdf[a.get("Name")] = list(map(list, vals.astype(float)))
+        else:
+            pdf[a.get("Name")] = vals
+
+
+def read_vtp(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """PolyData → (vertices, elements); Polys connect as N-gons
+    (reference _vtpconnec, vtk/read.jl:173-186, fixture spiral.vtp)."""
+    doc = _VTKDoc(path)
+    piece = doc.root.find(".//Piece")
+    pts = doc.array(piece.find("Points/DataArray"))
+    arrays = {a.get("Name"): a for a in piece.findall("Polys/DataArray")}
+    conn = doc.array(arrays["connectivity"]).astype(np.int64)
+    offsets = doc.array(arrays["offsets"]).astype(np.int64)
+    vpdf = pd.DataFrame({
+        "vid": np.arange(1, len(pts) + 1),
+        "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2]})
+    _NGON = {3: "triangle", 4: "quad", 5: "pentagon", 6: "hexagon"}
+    erows, start = [], 0
+    for eid, end in enumerate(offsets, start=1):
+        vids = (conn[start:end] + 1).tolist()
+        start = end
+        erows.append((eid, _NGON.get(len(vids), f"ngon{len(vids)}"), vids))
+    _attach_data(vpdf, piece, "PointData", doc)
+    epdf = pd.DataFrame(erows, columns=["eid", "kind", "vids"])
+    _attach_data(epdf, piece, "CellData", doc)
+    return spark.createDataFrame(vpdf), spark.createDataFrame(epdf)
+
+
+def write_vtp(vertices: DataFrame, elements: DataFrame, path: str) -> None:
+    """(vertices, elements) → ascii PolyData; every element is emitted
+    as a Poly (reference write.jl polydata branch)."""
+    v = vertices.orderBy("vid").toPandas()
+    e = elements.orderBy("eid").toPandas()
+    root = ET.Element("VTKFile", {"type": "PolyData", "version": "1.0",
+                                  "byte_order": "LittleEndian"})
+    pg = ET.SubElement(root, "PolyData")
+    piece = ET.SubElement(pg, "Piece", {
+        "NumberOfPoints": str(len(v)), "NumberOfPolys": str(len(e)),
+        "NumberOfVerts": "0", "NumberOfLines": "0", "NumberOfStrips": "0"})
+    points = ET.SubElement(piece, "Points")
+    _data_array(points, "Points",
+                v[["x", "y", "z"]].to_numpy() if "z" in v.columns
+                else np.column_stack([v["x"], v["y"], np.zeros(len(v))]), 3)
+    pdata = ET.SubElement(piece, "PointData")
+    for c in v.columns:
+        if c not in ("vid", "x", "y", "z", "tag"):
+            _data_array(pdata, c, v[c].fillna(np.nan))
+    polys = ET.SubElement(piece, "Polys")
+    conn, offs, acc = [], [], 0
+    for _, r in e.iterrows():
+        vids = [int(x) - 1 for x in r["vids"]]
+        conn.extend(vids)
+        acc += len(vids)
+        offs.append(acc)
+    _data_array(polys, "connectivity", conn)
+    _data_array(polys, "offsets", offs)
+    cdata = ET.SubElement(piece, "CellData")
+    for c in e.columns:
+        if c not in ("eid", "kind", "vids"):
+            _data_array(cdata, c, e[c].fillna(np.nan))
+    ET.ElementTree(root).write(path, xml_declaration=True)
 
 
 def write_vtu(vertices: DataFrame, elements: DataFrame, path: str) -> None:
@@ -119,13 +250,12 @@ def write_vtu(vertices: DataFrame, elements: DataFrame, path: str) -> None:
 # ---------------------------------------------------------------------------
 
 def read_vtr(spark: SparkSession, path: str) -> DataFrame:
-    root = ET.parse(path).getroot()
-    grid = root.find("RectilinearGrid")
-    piece = grid.find("Piece")
+    doc = _VTKDoc(path)
+    piece = doc.root.find("RectilinearGrid/Piece")
     coords = piece.find("Coordinates")
     arrays = coords.findall("DataArray")
-    xs = _parse_array(arrays[0])
-    ys = _parse_array(arrays[1])
+    xs = doc.array(arrays[0])
+    ys = doc.array(arrays[1])
     # point coordinates delimit cells: nx = len(xs)-1 cells per row
     nx, ny = max(len(xs) - 1, 1), max(len(ys) - 1, 1)
     cell = np.arange(nx * ny, dtype=np.int64)
@@ -136,8 +266,7 @@ def read_vtr(spark: SparkSession, path: str) -> DataFrame:
         "x": (xs[i] + xs[i + 1]) / 2.0 if len(xs) > 1 else xs[i],
         "y": (ys[j] + ys[j + 1]) / 2.0 if len(ys) > 1 else ys[j],
     })
-    for a in piece.findall("CellData/DataArray"):
-        pdf[a.get("Name")] = _parse_array(a)
+    _attach_data(pdf, piece, "CellData", doc)
     return spark.createDataFrame(pdf)
 
 
@@ -171,19 +300,18 @@ def write_vtr(df: DataFrame, path: str, xs: list, ys: list,
 # ---------------------------------------------------------------------------
 
 def read_vts(spark: SparkSession, path: str) -> DataFrame:
-    root = ET.parse(path).getroot()
-    piece = root.find("StructuredGrid/Piece")
+    doc = _VTKDoc(path)
+    piece = doc.root.find("StructuredGrid/Piece")
     extent = [int(x) for x in piece.get("Extent").split()]
     npx = extent[1] - extent[0] + 1  # points per row
-    pts = _parse_array(piece.find("Points/DataArray"))
+    pts = doc.array(piece.find("Points/DataArray"))
     vid = np.arange(len(pts), dtype=np.int64)
     pdf = pd.DataFrame({
         "point_id": vid,
         "i": vid % npx, "j": vid // npx,
         "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
     })
-    for a in piece.findall("PointData/DataArray"):
-        pdf[a.get("Name")] = _parse_array(a)
+    _attach_data(pdf, piece, "PointData", doc)
     return spark.createDataFrame(pdf)
 
 
@@ -217,22 +345,27 @@ def write_vts(df: DataFrame, path: str, npx: int, npy: int,
 # ---------------------------------------------------------------------------
 
 def read_vti(spark: SparkSession, path: str, apply_mask_col: bool = True):
-    root = ET.parse(path).getroot()
-    image = root.find("ImageData")
+    doc = _VTKDoc(path)
+    image = doc.root.find("ImageData")
     extent = [int(x) for x in image.get("WholeExtent").split()]
     origin = [float(x) for x in image.get("Origin", "0 0 0").split()]
     spacing = [float(x) for x in image.get("Spacing", "1 1 1").split()]
     nx = extent[1] - extent[0]
     ny = extent[3] - extent[2]
-    cell = np.arange(nx * ny, dtype=np.int64)
+    nz = max(extent[5] - extent[4], 1)  # 3D fixture: maskedgrid.vti
+    cell = np.arange(nx * ny * nz, dtype=np.int64)
     i = cell % nx
-    j = cell // nx
+    j = (cell // nx) % ny
+    k = cell // (nx * ny)
     pdf = pd.DataFrame({
         "cell_id": cell, "i": i, "j": j,
         "x": origin[0] + spacing[0] * (i + 0.5),
         "y": origin[1] + spacing[1] * (j + 0.5)})
-    for a in image.findall(".//CellData/DataArray"):
-        pdf[a.get("Name")] = _parse_array(a)
+    if extent[5] - extent[4] > 0:
+        pdf["k"] = k
+        pdf["z"] = origin[2] + spacing[2] * (k + 0.5)
+    piece = image.find("Piece")
+    _attach_data(pdf, piece, "CellData", doc)
     df = spark.createDataFrame(pdf)
     if apply_mask_col and "mask" in pdf.columns:
         # mask → SubGrid view (P6, vtk/read.jl:32-48)
