@@ -67,8 +67,9 @@ def read_off(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     # the reference's delegate role); vertices/elements stay DataFrames.
     import pandas as pd
     with open(path) as f:
-        lines = [ln.strip() for ln in f
-                 if ln.strip() and not ln.startswith("#")]
+        # full-line AND trailing comments (fixture tetrahedron.off has
+        # "3 0 1 2 255 0 0 # red" faces)
+        lines = [t for ln in f if (t := ln.split("#")[0].strip())]
     assert lines[0] == "OFF", "not an OFF file"
     nv, nf, _ = (int(x) for x in lines[1].split()[:3])
     vrows = []

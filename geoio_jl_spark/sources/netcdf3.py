@@ -75,10 +75,15 @@ class _R:
 
 
 def read_raw(path: str) -> dict:
-    """Parse a classic netCDF file → {dims, gatts, vars: {name: (dims,
-    atts, array)}}."""
+    """Parse a netCDF file → {dims, gatts, vars: {name: (dims, atts,
+    array)}}. Dispatches on magic: classic CDF parsed here, NetCDF-4
+    (HDF5, the format of every reference ``test*.nc`` fixture) via the
+    from-scratch reader in sources/hdf5nc.py."""
     with open(path, "rb") as f:
         buf = f.read()
+    if buf[:8] == b"\x89HDF\r\n\x1a\n":
+        from geoio_jl_spark.sources import hdf5nc
+        return hdf5nc.read_raw(path)
     if buf[:3] != b"CDF" or buf[3] not in (1, 2):
         raise ValueError("not a classic NetCDF file")
     r = _R(buf)
@@ -122,15 +127,18 @@ def _pick(names, candidates):
     return None
 
 
-def read(spark: SparkSession, path: str) -> DataFrame:
+def read(spark: SparkSession, path: str, x: str | None = None,
+         y: str | None = None, t: str | None = None) -> DataFrame:
     """→ long-form cell table (cell_id, i, j, x, y, var..., tvar:
-    array<double>)."""
+    array<double>). Explicit x/y/t override the name sniffing, the
+    GeoIO.load(file, x="lon_x", y="lat_y", t="time_t") keyword path
+    (cdm.jl:183-186, test io/netcdf.jl test_kw.nc)."""
     raw = read_raw(path)
     vars_ = raw["vars"]
     dim_names = [d for d, _ in raw["dims"]]
-    xn = _pick(vars_.keys(), X_NAMES) or _pick(dim_names, X_NAMES)
-    yn = _pick(vars_.keys(), Y_NAMES) or _pick(dim_names, Y_NAMES)
-    tn = _pick(vars_.keys(), T_NAMES) or _pick(dim_names, T_NAMES)
+    xn = x or _pick(vars_.keys(), X_NAMES) or _pick(dim_names, X_NAMES)
+    yn = y or _pick(vars_.keys(), Y_NAMES) or _pick(dim_names, Y_NAMES)
+    tn = t or _pick(vars_.keys(), T_NAMES) or _pick(dim_names, T_NAMES)
     if xn is None or yn is None:
         raise ValueError(f"no x/y axes found among {list(vars_)}")
     xs = vars_[xn][2].astype(np.float64) if xn in vars_ else np.arange(
@@ -143,9 +151,12 @@ def read(spark: SparkSession, path: str) -> DataFrame:
     j = cell // nx
     pdf = pd.DataFrame({"cell_id": cell, "i": i, "j": j,
                         "x": xs[i], "y": ys[j]})
-    for nm, (dnames, _atts, arr) in vars_.items():
-        if nm in (xn, yn, tn):
+    for nm, (dnames, atts, arr) in vars_.items():
+        if nm in (xn, yn, tn) or arr is None:
             continue
+        fill = atts.get("_FillValue")
+        if fill is not None and np.asarray(arr).dtype.kind == "f":
+            arr = np.where(arr == np.asarray(fill).ravel()[0], np.nan, arr)
         if set(dnames) == {yn, xn}:  # per-cell scalar (P7: dims match grid)
             a = arr if dnames == [yn, xn] else arr.T
             pdf[nm] = a.astype(np.float64).reshape(ny, nx)[j, i]
@@ -158,6 +169,30 @@ def read(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+def read_crs(path: str) -> tuple[dict | None, str | None]:
+    """F14: locate the CF grid-mapping variable (referenced by a data
+    variable's ``grid_mapping`` attribute, cdm.jl:220-231) and convert
+    its attributes → (CRS descriptor, EPSG code or None)."""
+    from geoio_jl_spark.functions import cfgrid
+    raw = read_raw(path)
+    vars_ = raw["vars"]
+    gm_name = None
+    for nm, (_d, atts, _a) in vars_.items():
+        gm = atts.get("grid_mapping")
+        if isinstance(gm, str) and gm in vars_:
+            gm_name = gm
+            break
+    if gm_name is None:  # fall back: any var carrying grid_mapping_name
+        for nm, (_d, atts, _a) in vars_.items():
+            if "grid_mapping_name" in atts:
+                gm_name = nm
+                break
+    if gm_name is None:
+        return None, None
+    desc = cfgrid.gm_to_crs(vars_[gm_name][1])
+    return desc, cfgrid.crs_code(desc)
+
+
 def _pad(b: bytes) -> bytes:
     return b + b"\x00" * ((-len(b)) % 4)
 
@@ -167,10 +202,30 @@ def _w_name(s: str) -> bytes:
     return struct.pack(">i", len(b)) + _pad(b)
 
 
+def _w_atts(atts: dict | None) -> bytes:
+    """Attribute list encoder (classic format: tag 12, NC_CHAR strings,
+    NC_DOUBLE numerics)."""
+    if not atts:
+        return struct.pack(">ii", 0, 0)
+    out = struct.pack(">ii", 12, len(atts))
+    for k, v in atts.items():
+        out += _w_name(k)
+        if isinstance(v, str):
+            b = v.encode()
+            out += struct.pack(">ii", NC_CHAR, len(b)) + _pad(b)
+        else:
+            arr = np.asarray(v, ">f8").ravel()
+            out += struct.pack(">ii", NC_DOUBLE, arr.size) + arr.tobytes()
+    return out
+
+
 def write(df: DataFrame, path: str, x: str = "x", y: str = "y",
-          value_cols: list[str] | None = None) -> None:
+          value_cols: list[str] | None = None,
+          crs_desc: dict | None = None) -> None:
     """Rectilinear/regular grids only (cdm.jl:100-102 constraint): the
-    frame must be a complete (i, j) grid."""
+    frame must be a complete (i, j) grid. ``crs_desc`` (F14) emits a
+    scalar ``crs`` variable holding the CF grid-mapping attributes and
+    tags every value variable with grid_mapping="crs" (cdm.jl:282-306)."""
     pdf = df.toPandas().sort_values(["j", "i"])
     xs = np.sort(pdf[x].unique())
     ys = np.sort(pdf[y].unique())
@@ -182,34 +237,44 @@ def write(df: DataFrame, path: str, x: str = "x", y: str = "y",
         value_cols = [c for c in pdf.columns
                       if c not in (x, y, "i", "j", "cell_id")
                       and pdf[c].dtype != object]
+    from geoio_jl_spark.functions import cfgrid
+    gm_atts = cfgrid.crs_to_gm(crs_desc) if crs_desc else None
+    val_atts = {"grid_mapping": "crs"} if gm_atts else None
     header = b"CDF\x01" + struct.pack(">i", 0)
     header += struct.pack(">ii", 10, 2)  # dim_list
     header += _w_name(y) + struct.pack(">i", ny)
     header += _w_name(x) + struct.pack(">i", nx)
     header += struct.pack(">ii", 0, 0)  # no gatts
-    nvars = 2 + len(value_cols)
+    nvars = 2 + len(value_cols) + (1 if gm_atts else 0)
     var_list = struct.pack(">ii", 11, nvars)
-    # layout: header then data blocks in order y, x, then value vars
-    def var_entry(nm, dimids, begin, n):
+    # layout: header then data blocks in order y, x, value vars[, crs]
+    def var_entry(nm, dimids, begin, vsize, nc_type, atts):
         e = _w_name(nm)
         e += struct.pack(">i", len(dimids))
         for d in dimids:
             e += struct.pack(">i", d)
-        e += struct.pack(">ii", 0, 0)  # no atts
-        e += struct.pack(">iii", NC_DOUBLE, n * 8, begin)
+        e += _w_atts(atts)
+        e += struct.pack(">iii", nc_type, vsize, begin)
         return e
 
+    # (name, dimids, vsize, nc_type, atts)
+    entries = [(y, [0], ny * 8, NC_DOUBLE, None),
+               (x, [1], nx * 8, NC_DOUBLE, None)]
+    entries += [(c, [0, 1], ny * nx * 8, NC_DOUBLE, val_atts)
+                for c in value_cols]
+    if gm_atts:
+        entries.append(("crs", [], 4, NC_INT, gm_atts))
     # compute header size first with dummy begins, then fix up
-    entries = [(y, [0], ny), (x, [1], nx)] + [
-        (c, [0, 1], ny * nx) for c in value_cols]
-    dummy = b"".join(var_entry(nm, d, 0, n) for nm, d, n in entries)
+    dummy = b"".join(var_entry(nm, d, 0, vs, t, a)
+                     for nm, d, vs, t, a in entries)
     begin0 = len(header) + len(var_list) + len(dummy)
     begins, pos = [], begin0
-    for _nm, _d, n in entries:
+    for _nm, _d, vs, _t, _a in entries:
         begins.append(pos)
-        pos += n * 8
+        pos += vs
     body = var_list + b"".join(
-        var_entry(nm, d, b, n) for (nm, d, n), b in zip(entries, begins))
+        var_entry(nm, d, b, vs, t, a)
+        for (nm, d, vs, t, a), b in zip(entries, begins))
     with open(path, "wb") as f:
         f.write(header + body)
         f.write(np.asarray(ys, ">f8").tobytes())
@@ -217,3 +282,5 @@ def write(df: DataFrame, path: str, x: str = "x", y: str = "y",
         for c in value_cols:
             grid = np.asarray(pdf[c], np.float64).reshape(ny, nx)
             f.write(grid.astype(">f8").tobytes())
+        if gm_atts:
+            f.write(struct.pack(">i", 0))  # crs scalar placeholder value

@@ -123,7 +123,9 @@ def _read_dbf(path: str) -> pd.DataFrame:
         fields.append((name, ftype, flen, fdec))
         pos += 32
     rows = []
-    pos = hdr_size
+    # some writers record header_size without the 0x0D terminator
+    # (fixture points.dbf): records then start one byte later
+    pos = max(hdr_size, pos + 1)
     for _ in range(nrec):
         rec = buf[pos:pos + rec_size]
         pos += rec_size
