@@ -107,16 +107,17 @@ class _Reader:
 
 
 def normalize_chain(coords: np.ndarray) -> tuple[np.ndarray, bool]:
-    """Pop trailing duplicate points; closed iff first == last after
-    popping (wkb2chain, wkb.jl:62-73; invariant pinned by reference test
-    io/geopackage.jl:133-142)."""
+    """Ring/Rope split exactly as wkb2chain (wkb.jl:62-73; invariant
+    pinned by reference test io/geopackage.jl:133-142): only when
+    first == last, pop trailing points equal to the FIRST point, and
+    the chain is closed. An open chain with a trailing duplicate
+    ([A,B,C,C]) is left intact, matching the reference."""
     n = len(coords)
-    while n > 1 and np.array_equal(coords[n - 1], coords[n - 2]):
-        n -= 1
-    closed = n > 1 and np.array_equal(coords[0], coords[n - 1])
-    if closed:
-        n -= 1
-    return coords[:n], closed
+    if n > 1 and np.array_equal(coords[0], coords[n - 1]):
+        while n >= 2 and np.array_equal(coords[0], coords[n - 1]):
+            n -= 1
+        return coords[:n], True
+    return coords, False
 
 
 def decode_wkb(buf: bytes) -> Geom:

@@ -60,8 +60,9 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         F.concat_ws("_", *[f"mh{b * nr + r}" for r in range(nr)])
         for b in range(D.MINHASH_BANDS)
     ])
+    # persist so the signature pipeline computes once across both join
+    # sides; the join itself triggers materialization (no extra action)
     allb = sig.select(id_col, F.posexplode(band_arr).alias("band", "sig")).persist()
-    allb.count()
     out = (
         allb.alias("l").join(allb.alias("r"), ["band", "sig"])
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
@@ -74,28 +75,46 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """One row per token, ONE groupBy with `bits` conditional sums —
+    no bit explosion (the naive plan amplifies the shuffle ×bits), so
+    partial aggregation combines map-side and the shuffle carries one
+    row of 32 longs per (partition, doc)."""
     toks = D.tokens_sql(text_col, "spark")
-    exploded = docs.select(
+    hashed = docs.select(
         id_col, F.explode(F.expr(toks)).alias("tok")
     ).select(id_col, F.expr(D.md5_int60("tok", "spark")).alias("h"))
-    votes = exploded.select(
-        id_col, F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"), "h"
-    ).select(
-        id_col, "bit",
-        F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END").alias("w"),
-    ).groupBy(id_col, "bit").agg(F.sum("w").alias("v"))
-    return votes.groupBy(id_col).agg(
+    votes = [
         F.sum(F.expr(
-            "CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) "
-            "ELSE CAST(0 AS BIGINT) END")).alias("simhash"))
+            f"CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END"
+        )).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    sig = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN shiftleft(CAST(1 AS BIGINT), {j}) "
+        f"ELSE CAST(0 AS BIGINT) END)" for j in range(bits))
+    return (hashed.groupBy(id_col).agg(*votes)
+            .select(id_col, F.expr(sig).alias("simhash")))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id", min_inter: int = 2) -> DataFrame:
+                        id_col: str = "doc_id", min_inter: int = 2,
+                        max_df: int | None = None) -> DataFrame:
+    """Inverted-index shingle self-join. ``max_df`` applies the standard
+    stop-shingle rule: shingles appearing in more than max_df documents
+    are dropped BEFORE the self-join (a shingle in n docs yields n² pair
+    rows — unbounded on skewed web text without the cap). The hot list
+    is tiny by construction, so it excludes via broadcast anti-join;
+    intersection AND union are computed over the capped shingle sets, so
+    the result is the exact Jaccard of the filtered feature space."""
     sh = (
         docs.select(id_col, F.explode(F.expr(shingles_expr(text_col))).alias("sh"))
-        .distinct().persist()
+        .distinct()
     )
+    if max_df is not None:
+        hot = (sh.groupBy("sh").agg(F.count("*").alias("df"))
+               .filter(F.col("df") > max_df).select("sh"))
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     pairs = (
         sh.alias("l").join(sh.alias("r"), "sh")

@@ -43,9 +43,12 @@ class CheckpointedJob:
             return [json.loads(line) for line in f if line.strip()]
 
     def _committed(self, stage: str) -> dict | None:
-        for entry in self.manifest():
+        # last matching entry wins: a crash between manifest append and a
+        # later rerun can leave duplicates, and the newest snapshot is
+        # the one whose data is on disk
+        for entry in reversed(self.manifest()):
             if entry["stage"] == stage:
-                data = os.path.join(self.root, stage, "data")
+                data = os.path.join(self.root, name_safe(stage), "data")
                 if os.path.exists(os.path.join(data, "_SUCCESS")):
                     return entry
         return None
@@ -54,7 +57,9 @@ class CheckpointedJob:
     def stage(self, name: str, build, partition_by: list[str] | None = None) -> DataFrame:
         """Run (or resume) one stage. ``build`` is a zero-arg callable
         returning the stage's DataFrame."""
-        data_dir = os.path.join(self.root, name, "data")
+        # one canonical directory name for data, metrics, and manifest
+        # lookups (stage names may contain '/')
+        data_dir = os.path.join(self.root, name_safe(name), "data")
         upstream = list(self._stages)
         self._stages.append(name)
         entry = self._committed(name)

@@ -489,8 +489,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     allb = sig.select(
         "doc_id", F.posexplode(band_arr).alias("band", "sig")
-    ).persist()
-    allb.count()  # materialize once; both join sides reuse it
+    ).persist()  # the join materializes it once; both sides then reuse
     left = allb.alias("l")
     right = allb.alias("r")
     return (
@@ -571,26 +570,65 @@ FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 """
 
 
+NGRAM_MAX_DF = 20  # stop-shingle threshold for the capped (scale) variant
+
+
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard with the stop-shingle DF cap — the 100-TB-safe
+    plan: a shingle present in n documents emits n² candidate pairs, so
+    skewed boilerplate shingles are dropped (DF > NGRAM_MAX_DF) before
+    the self-join; the hot list is small → broadcast anti-join. Both
+    inter and union are over the capped shingle sets (exact Jaccard of
+    the filtered feature space; same cap applied in the DuckDB oracle)."""
+    from geoio_jl_spark.operators.dedup import ngram_jaccard_pairs
+    docs = _read(spark, sf_dir, "documents")
+    return (ngram_jaccard_pairs(docs, max_df=NGRAM_MAX_DF)
+            .withColumnRenamed("id_a", "doc_a")
+            .withColumnRenamed("id_b", "doc_b"))
+
+
+def _sql_ngram_jaccard_capped() -> str:
+    return f"""
+WITH sh0 AS (
+  SELECT DISTINCT doc_id, sh
+  FROM (SELECT doc_id, unnest({_shingles_duckdb()}) AS sh FROM documents)
+), hot AS (
+  SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > {NGRAM_MAX_DF}
+), sh AS (
+  SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)
+), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS inter
+  FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT doc_a, doc_b, inter, sa.n_sh + sb.n_sh - inter AS uni
+FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash over token hashes (exact bit arithmetic both engines)."""
+    """32-bit SimHash over token hashes (exact bit arithmetic both
+    engines). Plan shape: one row per token, ONE groupBy(doc_id) with 32
+    conditional sums — the naive explode-per-bit plan amplifies the
+    shuffle ×32; here partial aggregation combines map-side and the
+    shuffle carries a single 32-long row per (partition, doc)."""
     docs = _read(spark, sf_dir, "documents")
     toks = D.tokens_sql("text", "spark")
-    exploded = docs.select(
+    hashed = docs.select(
         "doc_id", F.explode(F.expr(toks)).alias("tok")
     ).select("doc_id", F.expr(D.md5_int60("tok", "spark")).alias("h"))
-    bits = exploded.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"), "h"
-    ).select(
-        "doc_id", "bit",
-        F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END").alias("w"),
-    )
-    votes = bits.groupBy("doc_id", "bit").agg(F.sum("w").alias("v"))
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) "
-                   "ELSE CAST(0 AS BIGINT) END")
-        ).alias("simhash")
-    )
+    votes = [
+        F.sum(F.expr(
+            f"CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END"
+        )).alias(f"v{j}")
+        for j in range(32)
+    ]
+    sig = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN shiftleft(CAST(1 AS BIGINT), {j}) "
+        f"ELSE CAST(0 AS BIGINT) END)" for j in range(32))
+    return (hashed.groupBy("doc_id").agg(*votes)
+            .select("doc_id", F.expr(sig).alias("simhash")))
 
 
 def _sql_simhash() -> str:
@@ -919,6 +957,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
         "minhash_lsh": (q_minhash_lsh, _sql_minhash_lsh()),
         "ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard()),
+        "ngram_jaccard_capped": (q_ngram_jaccard_capped,
+                                 _sql_ngram_jaccard_capped()),
         "simhash": (q_simhash, _sql_simhash()),
         "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
         "events_window": (q_events_window, SQL_EVENTS_WINDOW),

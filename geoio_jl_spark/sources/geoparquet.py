@@ -30,17 +30,31 @@ SIDECAR = "_geo_metadata.json"
 SPEC_VERSION = "1.0.0"
 
 
-def _geo_meta_dict(schema: GeoSchema) -> dict:
+def _geo_meta_dict(schema: GeoSchema, spec: bool = False) -> dict:
+    """GeoParquet ``geo`` metadata. ``spec=True`` (real parquet footers)
+    emits ``crs`` as a PROJJSON object as the 1.0.0 spec requires —
+    GDAL/GeoPandas reject plain "EPSG:xxxx" strings there — or omits the
+    key entirely (spec default OGC:CRS84) for codes outside the corpus.
+    The internal sidecar keeps the compact string form."""
+    col: dict = {"encoding": "WKB", "geometry_types": []}
+    if spec:
+        code = None
+        if isinstance(schema.crs, str) and schema.crs.upper().startswith("EPSG:"):
+            try:
+                code = int(schema.crs.split(":")[1])
+            except ValueError:
+                code = None
+        if code is not None:
+            from geoio_jl_spark.functions.wkt2_corpus import projjson_for
+            doc = projjson_for(code)
+            if doc is not None:
+                col["crs"] = doc
+    else:
+        col["crs"] = schema.crs
     return {
         "version": SPEC_VERSION,
         "primary_column": schema.geometry_column,
-        "columns": {
-            schema.geometry_column: {
-                "encoding": "WKB",
-                "geometry_types": [],
-                "crs": schema.crs,
-            }
-        },
+        "columns": {schema.geometry_column: col},
     }
 
 
@@ -66,8 +80,15 @@ def read(spark: SparkSession, path: str) -> DataFrame:
                 geo = json.load(f)
     if geo:
         gcol = geo.get("primary_column", "geometry")
-        crs = geo.get("columns", {}).get(gcol, {}).get("crs", "EPSG:4326")
-        crs = crs if isinstance(crs, str) else json.dumps(crs)
+        crs = geo.get("columns", {}).get(gcol, {}).get("crs", "OGC:CRS84")
+        if crs is None:
+            crs = "OGC:CRS84"  # spec default when crs is null/omitted
+        elif not isinstance(crs, str):  # PROJJSON object → authority code
+            from geoio_jl_spark.functions.crsstrings import projjson_code
+            try:
+                crs = projjson_code(crs)
+            except ValueError:
+                crs = json.dumps(crs)
         return with_geo_metadata(df, GeoSchema(geometry_column=gcol, crs=crs))
     gcol = detect_geometry_column(df.columns)
     return with_geo_metadata(df, GeoSchema(geometry_column=gcol))
@@ -92,5 +113,5 @@ def write_single(df: DataFrame, path: str, schema: GeoSchema | None = None) -> N
     schema = schema or GeoSchema.from_df(df)
     table = pa.Table.from_pandas(df.toPandas(), preserve_index=False)
     meta = dict(table.schema.metadata or {})
-    meta[GEO_KEY] = json.dumps(_geo_meta_dict(schema)).encode()
+    meta[GEO_KEY] = json.dumps(_geo_meta_dict(schema, spec=True)).encode()
     pq.write_table(table.replace_schema_metadata(meta), path)

@@ -68,13 +68,18 @@ def encode_gpkg_blob(wkb: bytes, srs_id: int = 4326,
     return header + wkb
 
 
-def resolve_srs(srs_id: int, organization: str = "EPSG") -> str:
-    """Sentinel rules from gpkg.jl:163-182 (F10)."""
+def resolve_srs(srs_id: int, organization: str = "EPSG",
+                org_id: int | None = None) -> str:
+    """Sentinel rules from gpkgcrs (gpkg.jl:163-182, F10): sentinels
+    check srs_id first; the organization code is used when defined,
+    falling back to srs_id when the org code is 0/-1."""
     if srs_id in (0, 99999):
         return "GEOGRAPHIC:undefined"
     if srs_id == -1:
         return "CARTESIAN:undefined"
-    return f"{organization.upper()}:{srs_id}"
+    if org_id is None or org_id in (0, -1):
+        return f"EPSG:{srs_id}"
+    return f"{(organization or 'EPSG').upper()}:{org_id}"
 
 
 def list_layers(path: str) -> list[dict]:
@@ -118,7 +123,8 @@ def read(spark: SparkSession, path: str, layer: int = 1,
             )
         meta = layers[layer - 1]  # LIMIT 1 OFFSET layer-1 (gpkg.jl:94)
         tbl, gcol = meta["table"], meta["geometry_column"]
-        # chunked read: big layers never materialize twice on the driver
+        table_info = con.execute(f'PRAGMA table_info("{tbl}")').fetchall()
+        # chunked decode: GPKG blobs → WKB in bounded driver batches
         chunks = []
         for pdf in pd.read_sql_query(f'SELECT * FROM "{tbl}"', con,
                                      chunksize=100_000):
@@ -129,14 +135,30 @@ def read(spark: SparkSession, path: str, layer: int = 1,
             chunks.append(pdf)
     finally:
         con.close()
-    srs = resolve_srs(
-        meta["org_id"] if meta["org_id"] is not None else meta["srs_id"],
-        meta["organization"] or "EPSG",
-    )
-    df = None
-    for pdf in chunks or [pd.DataFrame({gcol: []})]:
-        part = spark.createDataFrame(pdf)
-        df = part if df is None else df.unionByName(part)
+    srs = resolve_srs(meta["srs_id"], meta["organization"], meta["org_id"])
+    # one explicit schema from the SQLite declared types: all-NULL chunks
+    # and empty layers otherwise infer NullType and break the read
+    from pyspark.sql import types as T
+
+    def _spark_type(name: str, decl: str | None):
+        d = (decl or "").upper()
+        if name == gcol or "BLOB" in d:
+            return T.BinaryType()
+        if "INT" in d:
+            return T.LongType()
+        if any(k in d for k in ("REAL", "FLOA", "DOUB")):
+            return T.DoubleType()
+        return T.StringType()
+
+    fields = [(r[1], _spark_type(r[1], r[2])) for r in table_info]
+    sp_schema = T.StructType(
+        [T.StructField(n, t, True) for n, t in fields])
+    pdf_all = (pd.concat(chunks, ignore_index=True) if chunks
+               else pd.DataFrame({n: [] for n, _ in fields}))
+    for n, t in fields:  # nullable ints arrive as float64-with-NaN
+        if isinstance(t, T.LongType):
+            pdf_all[n] = pdf_all[n].astype("Int64")
+    df = spark.createDataFrame(pdf_all, schema=sp_schema)
     return with_geo_metadata(df, GeoSchema(geometry_column=gcol, crs=srs))
 
 

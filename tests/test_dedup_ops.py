@@ -70,3 +70,23 @@ def test_minhash_signatures_deterministic(spark, corpus):
     a = DD.minhash_signatures(corpus.repartition(3)).collect()
     b = DD.minhash_signatures(corpus.repartition(7)).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ngram_jaccard_df_cap_bounds_hot_shingles(spark):
+    """Planted hot shingle: every doc shares one boilerplate sentence.
+    Uncapped, the inverted-index self-join emits ~n^2/2 pairs; with the
+    stop-shingle DF cap the hot shingle is dropped and only truly
+    similar pairs survive."""
+    n = 60
+    rows = [(i, f"common boiler plate {' '.join(f'w{i}x{j}' for j in range(8))}")
+            for i in range(n)]
+    # two genuinely similar docs sharing unique content
+    rows.append((n, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((n + 1, "alpha beta gamma delta epsilon zeta eta iota"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = DD.ngram_jaccard_pairs(docs, min_inter=1).count()
+    capped = DD.ngram_jaccard_pairs(docs, min_inter=1, max_df=10)
+    rows_c = capped.collect()
+    assert uncapped >= n * (n - 1) / 2  # quadratic blow-up present
+    assert len(rows_c) < 10             # bounded after the cap
+    assert (n, n + 1) in {(r["id_a"], r["id_b"]) for r in rows_c}

@@ -92,3 +92,12 @@ def test_multilayer_warning(spark, tmp_path):
     assert back.count() == 4
     back2 = gpkg.read(spark, path, layer=2, warn=False)
     assert "label" in back2.columns  # LIMIT/OFFSET layer select (gpkg.jl:94)
+
+
+def test_resolve_srs_sentinel_order():
+    """gpkgcrs (gpkg.jl:163-182): sentinels on srs_id first; org code
+    used when defined, srs_id fallback when org code is 0/-1."""
+    assert gpkg.resolve_srs(4326, "EPSG", 0) == "EPSG:4326"
+    assert gpkg.resolve_srs(4326, "EPSG", -1) == "EPSG:4326"
+    assert gpkg.resolve_srs(4326, "ESRI", 54017) == "ESRI:54017"
+    assert gpkg.resolve_srs(0, "EPSG", 4326) == "GEOGRAPHIC:undefined"

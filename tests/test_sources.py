@@ -75,7 +75,11 @@ def test_geoparquet_single_file_footer(spark, tmp):
     meta = pq.read_schema(path).metadata
     geo = json.loads(meta[b"geo"].decode())
     assert geo["primary_column"] == "geometry"
-    assert geo["columns"]["geometry"]["crs"] == "EPSG:3857"
+    # GeoParquet 1.0.0 requires PROJJSON (or omission) in the footer —
+    # the plain "EPSG:3857" string form is sidecar-only
+    crs = geo["columns"]["geometry"]["crs"]
+    assert isinstance(crs, dict) and crs["type"] == "ProjectedCRS"
+    assert crs["id"] == {"authority": "EPSG", "code": 3857}
     back = geoparquet.read(spark, path)
     assert GeoSchema.from_df(back).crs == "EPSG:3857"
 

@@ -100,9 +100,12 @@ def test_chain_normalization_invariants():
     c, closed = W.normalize_chain(np.array([[0, 0], [1, 0], [1, 1], [0, 0]]))
     assert closed and len(c) == 3  # first==last => Ring, dup dropped
     c, closed = W.normalize_chain(np.array([[0, 0], [1, 0], [1, 1], [1, 1]]))
-    assert not closed and len(c) == 3  # trailing dup popped => Rope
+    assert not closed and len(c) == 4  # open chain kept intact (only
+    # trailing points equal to the FIRST are popped, wkb.jl:65-68)
     c, closed = W.normalize_chain(np.array([[2, 2], [2, 2]]))
-    assert len(c) == 1  # degenerate 2-equal-points chain (conversion.jl:31-33)
+    assert closed and len(c) == 1  # degenerate [A,A] => Ring of one
+    c, closed = W.normalize_chain(np.array([[0, 0], [1, 0], [0, 0], [0, 0]]))
+    assert closed and len(c) == 2  # pops all trailing first-dups
 
 
 def test_lat_clamp():
