@@ -144,23 +144,61 @@ def ivf_search(assigned: DataFrame, centroids: np.ndarray,
                qid_col: str = "query_id", qemb_col: str = "qe") -> DataFrame:
     """Probe the n_probe nearest centroids per query, brute-force cosine
     within those clusters only (partition pruning for vectors: the scan
-    touches n_probe/K of the data)."""
+    touches ~n_probe/K of the data).
+
+    ONE pass for the whole query batch: the query matrix + per-query
+    probe lists broadcast, the scan filters to the union of probed
+    clusters, and each Arrow batch scores every query against only its
+    own clusters' rows (mask on the cluster column) — no per-query
+    driver loop / per-query Spark job."""
+    spark = assigned.sparkSession
+    ensure_pyfiles(spark)
     qrows = query_df.select(qid_col, qemb_col).collect()
-    out_parts = []
-    for r in qrows:
-        qv = np.array(r[qemb_col], dtype=np.float64)
-        d2 = ((centroids - qv[None, :]) ** 2).sum(axis=1)
-        probes = [int(x) for x in np.argsort(d2)[:n_probe]]
-        sub = assigned.filter(F.col("ivf_cluster").isin(probes))
-        one_q = assigned.sparkSession.createDataFrame(
-            pd.DataFrame({qid_col: [r[qid_col]], qemb_col: [list(qv)]}))
-        out_parts.append(cosine_topk_partial(
-            sub, one_q, k, id_col=id_col, emb_col=emb_col,
-            qid_col=qid_col, qemb_col=qemb_col))
-    res = out_parts[0]
-    for p in out_parts[1:]:
-        res = res.unionByName(p)
-    return res
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    d2 = ((centroids[None, :, :] - q_mat[:, None, :]) ** 2).sum(axis=2)
+    probes = np.argsort(d2, axis=1)[:, :n_probe]  # (Q, n_probe)
+    all_probed = sorted({int(c) for c in probes.ravel()})
+    bq = spark.sparkContext.broadcast((q_ids, q_norm, probes))
+    sub = assigned.filter(F.col("ivf_cluster").isin(all_probed))
+
+    def local_topk(batches):
+        ids, qn, pr = bq.value
+        best: dict[int, list] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            e_ids = pdf[id_col].values.astype(np.int64)
+            clusters = pdf["ivf_cluster"].values.astype(np.int64)
+            mat = np.array(pdf[emb_col].tolist(), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = qn @ mat.T  # (Q, B)
+            for qi in range(len(ids)):
+                mask = np.isin(clusters, pr[qi]) & (e_ids != ids[qi])
+                cand = sims[qi][mask]
+                cids = e_ids[mask]
+                kk = min(k, len(cand))
+                if kk == 0:
+                    continue
+                sel = np.argpartition(-cand, kk - 1)[:kk]
+                cur = best.setdefault(int(ids[qi]), [])
+                cur.extend(zip((-cand[sel]).tolist(), cids[sel].tolist()))
+                cur.sort()
+                del cur[k:]
+        out = [(q, vid, -negcos) for q, rows in best.items()
+               for negcos, vid in rows]
+        yield pd.DataFrame(out, columns=[qid_col, id_col, "cos"])
+
+    partial = sub.select(id_col, emb_col, "ivf_cluster").mapInPandas(
+        local_topk, schema=f"{qid_col} long, {id_col} long, cos double")
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(),
+                                            F.col(id_col).asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cos", "rank")
+    )
 
 
 def cosine_topk_partial(emb_df: DataFrame, query_df: DataFrame, k: int,

@@ -95,9 +95,15 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 def read(spark: SparkSession, path: str) -> DataFrame:
     """→ (cell_id, i, j, x, y, r, g, b[, a]) with the reference's
-    translate+rotate orientation (img.jl:22-23)."""
+    translate+rotate orientation (img.jl:22-23). Dispatches on magic:
+    PNG or baseline JPEG (reference IMGEXTS, GeoIO.jl:66)."""
     with open(path, "rb") as f:
-        arr = decode_png(f.read())
+        buf = f.read()
+    if buf[:2] == b"\xff\xd8":
+        from geoio_jl_spark.sources import jpeg
+        arr = jpeg.decode(buf)
+    else:
+        arr = decode_png(buf)
     h, w, ch = arr.shape
     cell = np.arange(w * h, dtype=np.int64)
     col = cell % w
@@ -114,16 +120,22 @@ def read(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write(df: DataFrame, path: str,
-          channels: tuple[str, ...] = ("r", "g", "b")) -> None:
+          channels: tuple[str, ...] = ("r", "g", "b"),
+          quality: int = 90) -> None:
     pdf = df.toPandas()
     w = int(pdf["i"].max()) + 1
     h = int(pdf["j"].max()) + 1
     if len(pdf) != w * h:
-        raise ValueError("PNG write requires a complete image grid")
+        raise ValueError("image write requires a complete image grid")
     arr = np.zeros((h, w, len(channels)), dtype=np.uint8)
     jj = pdf["j"].to_numpy()
     ii = pdf["i"].to_numpy()
     for c, nm in enumerate(channels):
         arr[jj, ii, c] = pdf[nm].to_numpy().astype(np.uint8)
+    ext = path.rsplit(".", 1)[-1].lower()
     with open(path, "wb") as f:
-        f.write(encode_png(arr))
+        if ext in ("jpg", "jpeg"):
+            from geoio_jl_spark.sources import jpeg
+            f.write(jpeg.encode(arr, quality=quality))
+        else:
+            f.write(encode_png(arr))

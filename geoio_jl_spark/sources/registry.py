@@ -36,6 +36,8 @@ FORMATS = {
     ".tiff": (geotiff.read, geotiff.write, "grid", "alias of .tif"),
     ".nc": (netcdf3.read, netcdf3.write, "grid", "NetCDF-3 classic (from scratch)"),
     ".png": (img.read, img.write, "grid", "PNG via stdlib zlib (from scratch)"),
+    ".jpg": (img.read, img.write, "grid", "baseline JPEG (from scratch)"),
+    ".jpeg": (img.read, img.write, "grid", "alias of .jpg"),
     ".obj": (meshtext.read_obj, meshtext.write_obj, "mesh", "vertices+faces"),
     ".off": (meshtext.read_off, meshtext.write_off, "mesh", "vertices+faces+colors"),
     ".stl": (stl.read, stl.write, "mesh", "binary/ascii, vertex dedup"),
