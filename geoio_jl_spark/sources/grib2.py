@@ -1,0 +1,176 @@
+"""Minimal from-scratch GRIB2 reader (S9's GRIB half, src/extra/cdm.jl
+_gribdataset — the reference delegates to GRIBDatasets/eccodes, absent
+here; fixture test/data/regular_gg_ml.grib).
+
+Scope: edition-2 messages, grid templates 3.0 (regular lat/lon) and
+3.40 (regular Gaussian — latitudes from Legendre roots via
+numpy.polynomial.legendre.leggauss), data representation template 5.0
+(simple packing), optional bitmap, multi-message files. Values decode as
+R + 2^E · X · 10^-D per the spec's sign-magnitude E/D encoding.
+
+Output: the engine's long-form grid table (cell_id, i, j, x, y,
+<one column per message: discipline/category/number name + level>).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+# (discipline, category, number) → short name, WMO code table 4.2 subset
+_PARAM = {
+    (0, 0, 0): "t", (0, 1, 0): "q", (0, 2, 2): "u", (0, 2, 3): "v",
+    (0, 3, 0): "pres", (0, 3, 5): "z",
+}
+
+
+def _i(b: bytes, lo: int, n: int) -> int:
+    return int.from_bytes(b[lo:lo + n], "big")
+
+
+def _sm(v: int, bits: int) -> int:
+    """GRIB sign-magnitude: high bit set → negative magnitude."""
+    sign_bit = 1 << (bits - 1)
+    return -(v & (sign_bit - 1)) if v & sign_bit else v
+
+
+def _gaussian_lats(n_half: int) -> np.ndarray:
+    """Latitudes of a regular Gaussian grid with N=n_half parallels per
+    hemisphere: arcsin of the 2N Legendre-Gauss nodes, north → south."""
+    nodes, _ = np.polynomial.legendre.leggauss(2 * n_half)
+    return np.degrees(np.arcsin(np.sort(nodes)[::-1]))
+
+
+def read_raw(path: str) -> list[dict]:
+    """→ one dict per message: {lons, lats, values (nj, ni), name,
+    level, scan} (values in grid scan order, bitmap applied as NaN)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    out = []
+    pos = 0
+    while pos < len(buf) - 4:
+        if buf[pos:pos + 4] != b"GRIB":
+            pos += 1
+            continue
+        edition = buf[pos + 7]
+        if edition != 2:
+            raise ValueError(f"only GRIB edition 2 supported, got {edition}")
+        discipline = buf[pos + 6]
+        msg_len = _i(buf, pos + 8, 8)
+        out.append(_decode_message(buf[pos:pos + msg_len], discipline))
+        pos += msg_len
+    return out
+
+
+def _decode_message(msg: bytes, discipline: int) -> dict:
+    i = 16
+    grid = None
+    prod = None
+    pack = None
+    bitmap = None
+    while i < len(msg) - 4:
+        if msg[i:i + 4] == b"7777":
+            break
+        ln = _i(msg, i, 4)
+        sec = msg[i + 4]
+        s = msg[i:i + ln]
+        if sec == 3:
+            tmpl = _i(s, 12, 2)
+            if tmpl not in (0, 40):
+                raise ValueError(f"unsupported grid template 3.{tmpl}")
+            ni = _i(s, 30, 4)
+            nj = _i(s, 34, 4)
+            la1 = _sm(_i(s, 46, 4), 32) / 1e6
+            lo1 = _i(s, 50, 4) / 1e6
+            la2 = _sm(_i(s, 55, 4), 32) / 1e6
+            lo2 = _i(s, 59, 4) / 1e6
+            di = _i(s, 63, 4) / 1e6
+            scan = s[71]
+            if tmpl == 40:
+                n_half = _i(s, 67, 4)
+                lats = _gaussian_lats(n_half)
+            else:
+                lats = np.linspace(la1, la2, nj)
+            lons = (lo1 + di * np.arange(ni)) if di and di < 1e3 else \
+                np.linspace(lo1, lo2 if lo2 > lo1 else lo2 + 360.0, ni)
+            grid = {"ni": ni, "nj": nj, "lats": lats, "lons": lons,
+                    "scan": scan}
+        elif sec == 4:
+            cat, num = s[9], s[10]
+            lvl_type = s[22]
+            lvl_scale = s[23]
+            lvl_val = _i(s, 24, 4)
+            level = lvl_val / (10 ** lvl_scale if lvl_scale < 128 else 1)
+            prod = {"cat": cat, "num": num, "level_type": lvl_type,
+                    "level": level}
+        elif sec == 5:
+            tmpl = _i(s, 9, 2)
+            if tmpl != 0:
+                raise ValueError(f"unsupported packing template 5.{tmpl}")
+            pack = {
+                "n": _i(s, 5, 4),
+                "R": struct.unpack_from(">f", s, 11)[0],
+                "E": _sm(_i(s, 15, 2), 16),
+                "D": _sm(_i(s, 17, 2), 16),
+                "nbits": s[19],
+            }
+        elif sec == 6:
+            if s[5] == 0:  # bitmap present in this section
+                bits = np.unpackbits(
+                    np.frombuffer(s, np.uint8, ln - 6, 6))
+                bitmap = bits.astype(bool)
+        elif sec == 7:
+            data = s[5:]
+            vals = _unpack_simple(data, pack)
+            if bitmap is not None:
+                full = np.full(len(bitmap), np.nan)
+                full[bitmap[:len(full)]] = vals
+                vals = full[:grid["ni"] * grid["nj"]]
+            name = _PARAM.get((discipline, prod["cat"], prod["num"]),
+                              f"var{discipline}_{prod['cat']}_{prod['num']}")
+            arr = vals.reshape(grid["nj"], grid["ni"])
+            if grid["scan"] & 0x40:  # +j scan: south → north; flip
+                arr = arr[::-1]
+            return {"lons": grid["lons"], "lats": grid["lats"],
+                    "values": arr, "name": name,
+                    "level_type": prod["level_type"],
+                    "level": prod["level"]}
+        i += ln
+    raise ValueError("GRIB message missing data section")
+
+
+def _unpack_simple(data: bytes, pack: dict) -> np.ndarray:
+    n, nbits = pack["n"], pack["nbits"]
+    if nbits == 0:
+        x = np.zeros(n)
+    else:
+        bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        need = n * nbits
+        bits = bits[:need].reshape(n, nbits).astype(np.int64)
+        x = (bits * (1 << np.arange(nbits - 1, -1, -1))).sum(axis=1)
+    return pack["R"] + x * (2.0 ** pack["E"]) * (10.0 ** -pack["D"])
+
+
+def read(spark: SparkSession, path: str) -> DataFrame:
+    """→ long-form cell table; one column per message, suffixed with the
+    level when a (name, level_type) repeats across messages."""
+    msgs = read_raw(path)
+    g0 = msgs[0]
+    lons, lats = g0["lons"], g0["lats"]
+    ni, nj = len(lons), len(lats)
+    cell = np.arange(ni * nj, dtype=np.int64)
+    ii = cell % ni
+    jj = cell // ni
+    pdf = pd.DataFrame({
+        "cell_id": cell, "i": ii, "j": jj,
+        "x": lons[ii], "y": lats[jj]})
+    names = [m["name"] for m in msgs]
+    for m in msgs:
+        col = m["name"]
+        if names.count(col) > 1:
+            col = f"{col}_l{m['level']:g}"
+        pdf[col] = m["values"][jj, ii]
+    return spark.createDataFrame(pdf)

@@ -18,8 +18,8 @@ from pyspark.sql import functions as F
 
 from geoio_jl_spark.geoschema import GeoSchema, detect_geometry_column
 from geoio_jl_spark.sources import (
-    csvgeo, geojson, geoparquet, geotiff, gpkg, gslib, img, meshtext, msh,
-    netcdf3, ply, shapefile, stl, vtk,
+    csvgeo, geojson, geoparquet, geotiff, gpkg, grib2, gslib, img, meshtext,
+    msh, netcdf3, ply, shapefile, stl, vtk,
 )
 
 # extension → (reader, writer, kind, notes)
@@ -34,7 +34,9 @@ FORMATS = {
     ".gslib": (gslib.read, gslib.write, "table", "header-driven text table"),
     ".tif": (geotiff.read, geotiff.write, "grid", "baseline TIFF + GeoKeys (from scratch)"),
     ".tiff": (geotiff.read, geotiff.write, "grid", "alias of .tif"),
-    ".nc": (netcdf3.read, netcdf3.write, "grid", "NetCDF-3 classic (from scratch)"),
+    ".nc": (netcdf3.read, netcdf3.write, "grid", "NetCDF classic + HDF5/NetCDF-4 (from scratch)"),
+    ".grib": (grib2.read, None, "grid", "GRIB2 (simple packing, latlon/gaussian)"),
+    ".grib2": (grib2.read, None, "grid", "alias of .grib"),
     ".png": (img.read, img.write, "grid", "PNG via stdlib zlib (from scratch)"),
     ".jpg": (img.read, img.write, "grid", "baseline JPEG (from scratch)"),
     ".jpeg": (img.read, img.write, "grid", "alias of .jpg"),

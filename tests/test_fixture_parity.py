@@ -30,10 +30,7 @@ KWARGS = {
 }
 
 # not loadable, with the honest reason
-XFAIL = {
-    "regular_gg_ml.grib": "GRIB codec out of scope (no eccodes; "
-                          "reference itself cannot write GRIB)",
-}
+XFAIL: dict[str, str] = {}
 
 # too slow for the blanket loader (2.16M-pixel Python JPEG decode +
 # Spark frame); covered by tests/test_jpeg.py instead
@@ -386,3 +383,20 @@ def test_roundtrip_spiral_vtp(spark, tmp_path):
     t1 = {r["vid"]: round(r["theta"], 9) for r in v1.collect()}
     t2 = {r["vid"]: round(r["theta"], 9) for r in v2.collect()}
     assert t1 == t2
+
+
+def test_grib_gaussian_grid(spark):
+    """regular_gg_ml.grib (io/grib.jl role): N32 regular Gaussian grid,
+    128x64, one model-level temperature field. The header's declared
+    first latitude (La1, an independent field) must match the computed
+    Legendre-root latitude — a self-differential on the Gaussian math."""
+    from geoio_jl_spark.sources import grib2
+    msgs = grib2.read_raw(os.path.join(DATA, "regular_gg_ml.grib"))
+    assert len(msgs) == 1
+    m = msgs[0]
+    assert m["name"] == "t" and m["values"].shape == (64, 128)
+    assert abs(m["lats"][0] - 87.863799) < 5e-4  # La1 vs leggauss root
+    assert 150 < np.nanmean(m["values"]) < 250   # model-level temps (K)
+    df = _load(spark, "regular_gg_ml.grib")
+    assert df.count() == 8192
+    assert "t" in df.columns
