@@ -39,9 +39,33 @@ KNOWN_CRS = {
 
 
 def crs_info(crs: str) -> dict:
-    """EPSG-style code → descriptor; unknown codes fall back to a plain
-    Cartesian tag (the reference's fallback, gi.jl:63-68)."""
-    return KNOWN_CRS.get(crs, {"kind": "cartesian", "axis": "xy", "unit": "m"})
+    """EPSG-style code → descriptor (F9). Resolution order: the static
+    registry, UTM code patterns, then the WKT2 corpus (30 codes whose
+    PROJJSON is schema-validated in tests); unknown codes fall back to a
+    plain Cartesian tag (the reference's fallback, gi.jl:63-68)."""
+    hit = KNOWN_CRS.get(crs)
+    if hit is not None:
+        return hit
+    utm = _parse_utm(crs)
+    if utm is not None:
+        return {"kind": "projected", "axis": "xy", "unit": "m",
+                "projection": "utm", "zone": utm[0], "south": utm[1]}
+    if crs.upper().startswith("EPSG:"):
+        try:
+            code = int(crs.split(":")[1])
+        except ValueError:
+            code = None
+        if code is not None:
+            from geoio_jl_spark.functions.wkt2_corpus import projjson_for
+            doc = projjson_for(code)
+            if doc is not None:
+                if doc["type"] in ("GeographicCRS", "GeodeticCRS"):
+                    return {"kind": "geographic", "axis": "latlon",
+                            "unit": "degree", "name": doc["name"]}
+                method = doc["conversion"]["method"]["name"]
+                return {"kind": "projected", "axis": "xy", "unit": "m",
+                        "projection": method, "name": doc["name"]}
+    return {"kind": "cartesian", "axis": "xy", "unit": "m"}
 
 
 # ---------------------------------------------------------------------------
@@ -136,6 +160,135 @@ def _utm_to_lonlat(zone: int, south: bool):
         return np.degrees(lam + lon0), np.degrees(phi)
 
     return inv
+
+
+# ---------------------------------------------------------------------------
+# Ellipsoidal Mercator (EPSG:3395), Lambert azimuthal equal-area
+# (EPSG:3035) and Albers equal-area (EPSG:5070) — Snyder closed forms on
+# GRS80/WGS84 (a, e² differ at the cm level; ETRS89/NAD83 treated as
+# WGS84-compatible, the standard GIS convention). F15 widening: the
+# reference resolves these through PROJ.
+# ---------------------------------------------------------------------------
+
+def _merc_fwd(lon, lat):
+    phi = np.radians(np.clip(np.asarray(lat, float), -89.9999, 89.9999))
+    es = _E * np.sin(phi)
+    x = R_WGS84 * np.radians(np.asarray(lon, float))
+    y = R_WGS84 * np.log(np.tan(np.pi / 4 + phi / 2)
+                         * ((1 - es) / (1 + es)) ** (_E / 2))
+    return x, y
+
+
+def _merc_inv(x, y):
+    lon = np.degrees(np.asarray(x, float) / R_WGS84)
+    t = np.exp(-np.asarray(y, float) / R_WGS84)
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(6):
+        es = _E * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(t * ((1 - es) / (1 + es)) ** (_E / 2))
+    return lon, np.degrees(phi)
+
+
+def _q_auth(phi):
+    s = np.sin(phi)
+    return (1 - _E2) * (s / (1 - _E2 * s * s)
+                        - np.log((1 - _E * s) / (1 + _E * s)) / (2 * _E))
+
+
+_QP = float(_q_auth(np.pi / 2))
+# authalic → geodetic latitude series (Snyder 3-18)
+_AUTH = (_E2 / 3 + 31 * _E2 ** 2 / 180 + 517 * _E2 ** 3 / 5040,
+         23 * _E2 ** 2 / 360 + 251 * _E2 ** 3 / 3780,
+         761 * _E2 ** 3 / 45360)
+
+
+def _beta_to_phi(beta):
+    return (beta + _AUTH[0] * np.sin(2 * beta)
+            + _AUTH[1] * np.sin(4 * beta) + _AUTH[2] * np.sin(6 * beta))
+
+
+def _m_fn(phi):
+    return np.cos(phi) / np.sqrt(1 - _E2 * np.sin(phi) ** 2)
+
+
+def _laea(lat0: float, lon0: float, fe: float, fn: float):
+    """Ellipsoidal oblique LAEA (Snyder 24-2..24-14), e.g. EPSG:3035."""
+    phi0 = np.radians(lat0)
+    lam0 = np.radians(lon0)
+    beta0 = np.arcsin(_q_auth(phi0) / _QP)
+    rq = R_WGS84 * np.sqrt(_QP / 2)
+    d = R_WGS84 * _m_fn(phi0) / (rq * np.cos(beta0))
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, float)) - lam0
+        beta = np.arcsin(_q_auth(np.radians(np.asarray(lat, float))) / _QP)
+        b = rq * np.sqrt(2 / (1 + np.sin(beta0) * np.sin(beta)
+                              + np.cos(beta0) * np.cos(beta) * np.cos(lam)))
+        x = fe + b * d * np.cos(beta) * np.sin(lam)
+        y = fn + (b / d) * (np.cos(beta0) * np.sin(beta)
+                            - np.sin(beta0) * np.cos(beta) * np.cos(lam))
+        return x, y
+
+    def inv(x, y):
+        xx = (np.asarray(x, float) - fe) / d
+        yy = (np.asarray(y, float) - fn) * d
+        rho = np.sqrt(xx * xx + yy * yy)
+        ce = 2 * np.arcsin(np.clip(rho / (2 * rq), -1, 1))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            beta = np.arcsin(np.clip(
+                np.cos(ce) * np.sin(beta0)
+                + np.where(rho == 0, 0.0,
+                           yy * np.sin(ce) * np.cos(beta0) / rho), -1, 1))
+            lam = np.arctan2(
+                xx * np.sin(ce),
+                rho * np.cos(beta0) * np.cos(ce)
+                - yy * np.sin(beta0) * np.sin(ce))
+        return (np.degrees(lam0 + lam), np.degrees(_beta_to_phi(beta)))
+
+    return fwd, inv
+
+
+def _albers(lat1: float, lat2: float, lat0: float, lon0: float,
+            fe: float, fn: float):
+    """Ellipsoidal Albers equal-area conic (Snyder 14-1..14-11),
+    e.g. EPSG:5070 Conus Albers."""
+    p1, p2, p0 = (np.radians(v) for v in (lat1, lat2, lat0))
+    lam0 = np.radians(lon0)
+    m1, m2 = _m_fn(p1), _m_fn(p2)
+    q0, q1, q2 = _q_auth(p0), _q_auth(p1), _q_auth(p2)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    c = m1 * m1 + n * q1
+    rho0 = R_WGS84 * np.sqrt(c - n * q0) / n
+
+    def fwd(lon, lat):
+        q = _q_auth(np.radians(np.asarray(lat, float)))
+        rho = R_WGS84 * np.sqrt(c - n * q) / n
+        theta = n * (np.radians(np.asarray(lon, float)) - lam0)
+        return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+
+    def inv(x, y):
+        xx = np.asarray(x, float) - fe
+        yy = rho0 - (np.asarray(y, float) - fn)
+        rho = np.sqrt(xx * xx + yy * yy)
+        theta = np.arctan2(np.sign(n) * xx, np.sign(n) * yy)
+        q = (c - (rho * n / R_WGS84) ** 2) / n
+        beta = np.arcsin(np.clip(q / _QP, -1, 1))
+        return (np.degrees(lam0 + theta / n),
+                np.degrees(_beta_to_phi(beta)))
+
+    return fwd, inv
+
+
+_LAEA_EUROPE = _laea(52.0, 10.0, 4321000.0, 3210000.0)
+_CONUS_ALBERS = _albers(29.5, 45.5, 23.0, -96.0, 0.0, 0.0)
+
+for _geo in ("EPSG:4326", "OGC:CRS84", "EPSG:4258", "EPSG:4269"):
+    _TRANSFORMS[(_geo, "EPSG:3395")] = _merc_fwd
+    _TRANSFORMS[("EPSG:3395", _geo)] = _merc_inv
+    _TRANSFORMS[(_geo, "EPSG:3035")] = _LAEA_EUROPE[0]
+    _TRANSFORMS[("EPSG:3035", _geo)] = _LAEA_EUROPE[1]
+    _TRANSFORMS[(_geo, "EPSG:5070")] = _CONUS_ALBERS[0]
+    _TRANSFORMS[("EPSG:5070", _geo)] = _CONUS_ALBERS[1]
 
 
 def _parse_utm(crs: str):

@@ -149,3 +149,50 @@ def test_degenerate_axes(spark):
         "a": [1.0, 1.0, 1.0], "b": [1.0, 2.0, 3.0], "c": [5, 5, 5],
     }))
     assert R.degenerate_axes(df, ["a", "b", "c"]) == ["a", "c"]
+
+
+def test_f15_widened_projections_anchors():
+    """Ellipsoidal Mercator / LAEA Europe / Conus Albers (F15 widening;
+    the reference resolves these via PROJ — anchors are the projection
+    natural origins plus the textbook equator scale)."""
+    import numpy as np
+    from geoio_jl_spark.functions import crs as C
+    x, y = C.get_transform("EPSG:4326", "EPSG:3035")(
+        np.array([10.0]), np.array([52.0]))
+    assert abs(x[0] - 4321000.0) < 1e-6 and abs(y[0] - 3210000.0) < 1e-6
+    x, y = C.get_transform("EPSG:4326", "EPSG:5070")(
+        np.array([-96.0]), np.array([23.0]))
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    x, y = C.get_transform("EPSG:4326", "EPSG:3395")(
+        np.array([1.0, 0.0]), np.array([0.0, 50.0]))
+    assert abs(x[0] - 111319.4908) < 1e-3   # a * pi/180
+    assert abs(y[1] - 6413524.594) < 1e-2   # ellipsoidal (not spherical) y
+
+
+def test_f15_widened_projections_roundtrip():
+    import numpy as np
+    from geoio_jl_spark.functions import crs as C
+    rng = np.random.default_rng(3)
+    cases = [("EPSG:3035", (-30, 60), (30, 70)),
+             ("EPSG:3395", (-180, 180), (-80, 80)),
+             ("EPSG:5070", (-120, -75), (25, 49))]
+    for code, lo_r, la_r in cases:
+        lon = rng.uniform(*lo_r, 500)
+        lat = rng.uniform(*la_r, 500)
+        fwd = C.get_transform("EPSG:4326", code)
+        inv = C.get_transform(code, "EPSG:4326")
+        lo2, la2 = inv(*fwd(lon, lat))
+        assert np.abs(lo2 - lon).max() < 1e-7, code
+        assert np.abs(la2 - lat).max() < 1e-7, code
+
+
+def test_f9_corpus_resolution():
+    from geoio_jl_spark.functions import crs as C
+    assert C.crs_info("EPSG:3035")["projection"] == \
+        "Lambert Azimuthal Equal Area"
+    assert C.crs_info("EPSG:2157")["projection"] == "Transverse Mercator"
+    assert C.crs_info("EPSG:4269")["kind"] == "geographic"
+    assert C.crs_info("EPSG:32745") == {
+        "kind": "projected", "axis": "xy", "unit": "m",
+        "projection": "utm", "zone": 45, "south": True}
+    assert C.crs_info("FOO:1")["kind"] == "cartesian"
