@@ -90,3 +90,55 @@ def test_axis_name_sniffing(spark, tmp_path):
              path, x="lon", y="lat", value_cols=["v"])
     back = NC.read(spark, path)
     assert back.count() == 6 and "v" in back.columns
+
+
+def test_hdf5_chunked_deflate_shuffle_walker():
+    """No reference .nc fixture uses chunked storage, so the chunk
+    B-tree + deflate + shuffle path gets a synthetic byte-level check:
+    a hand-built v1 B-tree leaf with two 2x2-chunk keys over a 2x4
+    dataset, each chunk shuffled then deflated."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from geoio_jl_spark.sources.hdf5nc import H5File
+
+    dt = np.dtype("<f4")
+    full = np.arange(8, dtype=dt).reshape(2, 4)
+    chunks = [full[:, :2], full[:, 2:]]
+    blobs = []
+    for c in chunks:
+        raw = c.tobytes()
+        a = np.frombuffer(raw, np.uint8)
+        shuffled = a.reshape(len(a) // dt.itemsize, dt.itemsize).T.tobytes()
+        blobs.append(zlib.compress(shuffled))
+    # layout: [TREE node][chunk blobs...]
+    nd = 3  # 2 dims + element-size dim
+    keysz = 8 + 8 * nd
+    node_sz = 8 + 2 * 8 + 2 * (keysz + 8) + keysz
+    node_addr = 0
+    blob_addrs = [node_sz, node_sz + len(blobs[0])]
+    buf = bytearray()
+    buf += b"TREE" + bytes([1, 0]) + struct.pack("<H", 2)
+    buf += struct.pack("<QQ", 0xFFFFFFFFFFFFFFFF, 0xFFFFFFFFFFFFFFFF)
+    for k, (blob, addr, off) in enumerate(
+            zip(blobs, blob_addrs, [(0, 0), (0, 2)])):
+        buf += struct.pack("<II", len(blob), 0)           # size, filter mask
+        buf += struct.pack("<QQQ", off[0], off[1], 0)     # chunk offsets
+        buf += struct.pack("<Q", addr)                    # child pointer
+    buf += struct.pack("<II", 0, 0) + struct.pack("<QQQ", 0, 0, 0)  # final key
+    assert len(buf) == node_sz
+    for blob in blobs:
+        buf += blob
+
+    h = H5File.__new__(H5File)
+    h.buf = bytes(buf)
+    h.offsz = 8
+    h.lensz = 8
+    out = np.zeros((2, 4), dt.newbyteorder("="))
+    # pipeline is stored in WRITE order (shuffle, then deflate); the
+    # reader applies it reversed
+    h._walk_chunks(node_addr, nd, [2, 2], dt,
+                   [(2, []), (1, [])], out, (2, 4))
+    np.testing.assert_array_equal(out, full)
