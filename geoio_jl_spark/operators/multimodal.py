@@ -2,15 +2,17 @@
 
 Media travel as opaque ``binary`` columns with typed metadata structs —
 the Spark-side plumbing (schemas, Arrow batching, partition-preserving
-mapInPandas) is real and tested; the codec layer is STUBBED because no
-image/audio libraries exist in this container:
+mapInPandas) is real and tested. The codec layer:
 
-- a deterministic container format ("FKIM"/"FKAU" fake image/audio) lets
-  tests exercise decode → feature-extract → resize end-to-end with exact
-  expected values;
-- real codecs plug in at ``_decode_real`` which raises
-  ``NotImplementedError`` with the intended dependency (PIL / libav),
-  leaving every DataFrame-level contract unchanged.
+- **PNG and baseline JPEG decode are REAL** — the engine's own
+  from-scratch codecs (sources/img.decode_png, sources/jpeg.decode)
+  plug in at ``_decode_real``, dispatched on magic bytes; every
+  operator below (decode → features → resize → frames) works on real
+  image bytes end-to-end.
+- a deterministic container format ("FKIM"/"FKAU" fake image/audio)
+  additionally lets tests pin exact expected values;
+- other codecs (audio/video) raise ``NotImplementedError`` naming the
+  missing dependency (libav), leaving the DataFrame contracts unchanged.
 
 Schemas:
   decode_images : binary → struct<width:int, height:int, channels:int,
@@ -56,11 +58,20 @@ def decode_fake_image(buf: bytes) -> np.ndarray:
     return px.reshape(h, w, c)
 
 
-def _decode_real(buf: bytes):
-    raise NotImplementedError(
-        "real image decode requires PIL/pillow (not in this container); "
-        "plug in here — all Spark-side plumbing is format-agnostic"
-    )
+def _decode_real(buf: bytes) -> np.ndarray:
+    """Real codecs: the engine's own PNG / baseline-JPEG decoders,
+    dispatched on magic bytes. → (h, w, c) uint8."""
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        from geoio_jl_spark.sources.img import decode_png
+        a = decode_png(buf)
+    elif buf[:2] == b"\xff\xd8":
+        from geoio_jl_spark.sources import jpeg
+        a = jpeg.decode(buf)
+    else:
+        raise NotImplementedError(
+            "unrecognized media container (PNG/JPEG decode from scratch; "
+            "audio/video would need libav, absent from this container)")
+    return a if a.ndim == 3 else a[:, :, None]
 
 
 # ---------------------------------------------------------------------------

@@ -70,3 +70,42 @@ def test_pipeline_composes(spark, images_df):
     feats = M.image_features(ok)
     agg = feats.agg(F.count("*").alias("n")).collect()[0]
     assert agg["n"] == 6
+
+
+def test_real_png_and_jpeg_through_pipeline(spark):
+    """The codec layer is no longer a stub for images: the engine's own
+    PNG + baseline-JPEG decoders drive decode → features → resize on
+    real bytes."""
+    import numpy as np
+
+    from geoio_jl_spark.operators import multimodal as M
+    from geoio_jl_spark.sources import jpeg
+    from geoio_jl_spark.sources.img import encode_png
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+    png = encode_png(arr)
+    jpg = jpeg.encode(arr, quality=95)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(jpg)), (3, None),
+         (4, bytearray(b"garbage"))], ["id", "image"])
+    meta = {r["id"]: r["meta"] for r in
+            M.decode_images(df).select("id", "meta").collect()}
+    assert meta[1]["ok"] and (meta[1]["width"], meta[1]["height"]) == (32, 24)
+    assert meta[2]["ok"] and (meta[2]["width"], meta[2]["height"]) == (32, 24)
+    assert not meta[3]["ok"] and meta[3]["err"] == "null"
+    assert not meta[4]["ok"] and "unrecognized" in meta[4]["err"]
+    feats = {r["id"]: r["features"] for r in
+             M.image_features(df).select("id", "features").collect()}
+    assert len(feats[1]) == 12  # 3 channels x mean/std/min/max
+    # PNG is lossless: features match numpy exactly
+    np.testing.assert_allclose(
+        feats[1][:3], arr.reshape(-1, 3).mean(axis=0), rtol=1e-6)
+    # JPEG is lossy but close on the mean
+    np.testing.assert_allclose(
+        feats[2][:3], arr.reshape(-1, 3).mean(axis=0), atol=3.0)
+    rs = {r["id"]: r["resized"] for r in
+          M.resize_images(df, 2).select("id", "resized").collect()}
+    a = M.decode_fake_image(bytes(rs[1]))
+    assert a.shape == (12, 16, 3)
+    np.testing.assert_array_equal(a, arr[::2, ::2, :])
