@@ -201,6 +201,28 @@ def ivf_search(assigned: DataFrame, centroids: np.ndarray,
     )
 
 
+def write_ivf_index(assigned: DataFrame, centroids: np.ndarray,
+                    path: str) -> None:
+    """Persist the IVF index partitioned BY CLUSTER: probing n_probe of
+    K clusters then touches n_probe/K of the files (Spark partition
+    pruning on the `ivf_cluster=...` directories) — the disk layout that
+    makes ivf_search's cluster filter a scan-level prune at 100 TB.
+    Centroids ride along as a small JSON sidecar."""
+    import json
+    import os
+    assigned.write.mode("overwrite").partitionBy("ivf_cluster").parquet(path)
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
+        json.dump(centroids.tolist(), f)
+
+
+def read_ivf_index(spark, path: str):
+    import json
+    import os
+    with open(os.path.join(path, "_ivf_centroids.json")) as f:
+        centroids = np.array(json.load(f), dtype=np.float64)
+    return spark.read.parquet(path), centroids
+
+
 def cosine_topk_partial(emb_df: DataFrame, query_df: DataFrame, k: int,
                         id_col: str = "vec_id", emb_col: str = "embedding",
                         qid_col: str = "query_id",

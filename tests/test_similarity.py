@@ -77,3 +77,39 @@ def test_plane_vectors_integer_lattice():
     assert v.shape == (S.DIM,)
     assert v.min() >= -9 and v.max() <= 9
     assert not np.array_equal(S.plane_vector(0), S.plane_vector(1))
+
+
+def test_ivf_persisted_layout_prunes_partitions(spark, tmp_path):
+    """write_ivf_index partitions by cluster; a probe filter must reach
+    the scan as a PartitionFilter (directory pruning), not a row filter."""
+    import numpy as np
+
+    from geoio_jl_spark.operators import similarity as S
+
+    rng = np.random.default_rng(11)
+    emb = [(int(i), rng.normal(size=8).tolist()) for i in range(200)]
+    df = spark.createDataFrame(emb, ["vec_id", "embedding"])
+    assigned, cents = S.ivf_index(df, k_centroids=4, n_iter=1)
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(assigned, cents, path)
+    back, cents2 = S.read_ivf_index(spark, path)
+    np.testing.assert_allclose(cents, cents2)
+    probed = back.filter("ivf_cluster IN (0, 1)")
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+    # the cluster predicate must reach the scan as a PartitionFilter
+    # (directory pruning), leaving no data filter behind
+    assert "PartitionFilters: [ivf_cluster" in scan_line
+    assert "IN(0,1)" in scan_line.replace(" ", "")
+    # search over the persisted layout matches search over the live frame
+    q = spark.createDataFrame(
+        [(int(i), rng.normal(size=8).tolist()) for i in range(3)],
+        ["query_id", "qe"])
+    # cos differs in the last ulp across partition layouts (matmul
+    # batch composition) — compare ids exactly, scores to 1e-9
+    def norm(rows):
+        return sorted((r["query_id"], r["vec_id"], round(r["cos"], 9),
+                       r["rank"]) for r in rows)
+    a = norm(S.ivf_search(assigned, cents, q, k=5).collect())
+    b = norm(S.ivf_search(back, cents2, q, k=5).collect())
+    assert a == b
