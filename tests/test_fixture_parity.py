@@ -267,6 +267,18 @@ def test_tif_shapes(spark, fname, shape):
     assert arr.shape == shape
 
 
+def test_tif_crs_geokeys(spark):
+    """GeoKey CRS extraction across the fixture set: geographic 4326,
+    Plate Carrée 32662, UTM 17N 32617 (io/geotiff.jl CRS asserts)."""
+    from geoio_jl_spark.sources import geotiff
+    expect = {"natural_earth_1.tif": "EPSG:4326",
+              "natural_earth_1_projected.tif": "EPSG:32662",
+              "utm.tif": "EPSG:32617", "test.tif": None}
+    for f, code in expect.items():
+        _a, _A, _b, epsg = geotiff.read_raw(os.path.join(DATA, f))
+        assert epsg == code, f
+
+
 def test_natural_earth_affine(spark):
     """World raster: origin (-180, 90), 1/0.45° pixels, EPSG:4326."""
     from geoio_jl_spark.sources import geotiff
