@@ -73,6 +73,34 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     return out
 
 
+def minhash_star_edges(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-cluster contraction: per (band, signature) bucket emit
+    (representative = min id, member) STAR edges instead of all pairs.
+
+    A bucket of n near-identical docs produces n-1 rows here versus
+    n(n-1)/2 from the pair join — the difference between linear and
+    quadratic output on boilerplate-heavy web text (a 10k-copy template
+    page: 10k edges, not 50M). Connected components over these star
+    edges equal components over the full pair graph, so downstream
+    keep/drop decisions are unchanged."""
+    sig = minhash_signatures(docs, text_col, id_col)
+    nr = len(D.MINHASH_SEEDS) // D.MINHASH_BANDS
+    band_arr = F.array(*[
+        F.concat_ws("_", *[f"mh{b * nr + r}" for r in range(nr)])
+        for b in range(D.MINHASH_BANDS)
+    ])
+    allb = sig.select(id_col, F.posexplode(band_arr).alias("band", "sig"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("band", "sig")
+    return (
+        allb.withColumn("rep", F.min(id_col).over(w))
+        .filter(F.col(id_col) != F.col("rep"))
+        .select("rep", F.col(id_col).alias("member"))
+        .distinct()
+    )
+
+
 def simhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """One row per token, ONE groupBy with `bits` conditional sums —

@@ -525,6 +525,42 @@ WHERE l.doc_id < r.doc_id
 """
 
 
+def q_minhash_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster contraction (see operators/dedup.py
+    minhash_star_edges): (rep=min id, member) per LSH bucket — linear
+    output per bucket vs the quadratic pair join; components equal."""
+    from geoio_jl_spark.operators.dedup import minhash_star_edges
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_star_edges(docs)
+
+
+def _sql_minhash_star_edges() -> str:
+    nr = len(D.MINHASH_SEEDS) // D.MINHASH_BANDS
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {D.MINHASH_P}) AS mh{j}"
+        for j, (a, b) in enumerate(D.MINHASH_SEEDS)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS sig FROM sig".format(
+            b=b, cols=", ".join(f"mh{b * nr + r}" for r in range(nr))
+        )
+        for b in range(D.MINHASH_BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {D.md5_int60('s.sh', 'duckdb')} % {D.MINHASH_P} AS h
+  FROM (SELECT doc_id, unnest({_shingles_duckdb()}) AS sh FROM documents) s
+), sig AS (
+  SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+), bands AS ({band_selects}),
+star AS (
+  SELECT min(doc_id) OVER (PARTITION BY band, sig) AS rep, doc_id AS member
+  FROM bands
+)
+SELECT DISTINCT rep, member FROM star WHERE member != rep
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup: distinct-shingle inverted index →
     pairs sharing >= 2 shingles, with exact intersection / union sizes."""
@@ -956,6 +992,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
         "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
         "minhash_lsh": (q_minhash_lsh, _sql_minhash_lsh()),
+        "minhash_star_edges": (q_minhash_star_edges,
+                               _sql_minhash_star_edges()),
         "ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard()),
         "ngram_jaccard_capped": (q_ngram_jaccard_capped,
                                  _sql_ngram_jaccard_capped()),

@@ -90,3 +90,28 @@ def test_ngram_jaccard_df_cap_bounds_hot_shingles(spark):
     assert uncapped >= n * (n - 1) / 2  # quadratic blow-up present
     assert len(rows_c) < 10             # bounded after the cap
     assert (n, n + 1) in {(r["id_a"], r["id_b"]) for r in rows_c}
+
+
+def test_minhash_star_edges_linear_output(spark, corpus):
+    """Star edges: a bucket of n duplicates yields n-1 edges, not
+    n(n-1)/2 pairs; components match the pair graph."""
+    edges = DD.minhash_star_edges(corpus).collect()
+    pairs = DD.minhash_lsh_pairs(corpus).collect()
+    # same connectivity: union-find both edge sets
+    def components(links, nodes):
+        parent = {n: n for n in nodes}
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+        for a, b in links:
+            parent[find(a)] = find(b)
+        return {n: find(n) for n in nodes}
+    nodes = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    ce = components([(r["rep"], r["member"]) for r in edges], nodes)
+    cp = components([(r["id_a"], r["id_b"]) for r in pairs], nodes)
+    grp = lambda c: sorted(tuple(sorted(k for k, v in c.items() if v == r))
+                           for r in set(c.values()))
+    assert grp(ce) == grp(cp)
+    assert len(edges) <= len(pairs)
