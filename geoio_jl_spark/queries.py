@@ -417,6 +417,29 @@ FROM (SELECT doc_id, text, {D.tokens_sql('text', 'duckdb')} AS toks FROM documen
 """
 
 
+# Gopher-style quality gates (Rae et al. 2021 §A1.1 public rules):
+# token-count window, mean-word-length window, symbol ratio, minimum
+# stopword presence. The exact thresholds are the public paper's.
+_GOPHER = ("n_tokens BETWEEN 50 AND 100000 "
+           "AND avg_word_len BETWEEN 3 AND 10 "
+           "AND n_punct <= 0.2 * n_chars "
+           "AND stopword_ratio >= 0.01")
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality filter: survivors of the Gopher rules with
+    their stats — composition of the quality columns + one codegen'd
+    predicate (no Python, no shuffle; runs at scan speed)."""
+    return q_quality(spark, sf_dir).filter(_GOPHER) \
+        .select("doc_id", "n_tokens", "avg_word_len", "stopword_ratio")
+
+
+SQL_GOPHER_FILTER = (
+    f"SELECT doc_id, n_tokens, avg_word_len, stopword_ratio "
+    f"FROM ({SQL_QUALITY}) q WHERE {_GOPHER}"
+)
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -989,6 +1012,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "token_stats": (q_token_stats, SQL_TOKEN_STATS),
         "langid_confusion": (q_langid_confusion, _sql_langid_confusion()),
         "quality_score": (q_quality, SQL_QUALITY),
+        "gopher_filter": (q_gopher_filter, SQL_GOPHER_FILTER),
         "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
         "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
         "minhash_lsh": (q_minhash_lsh, _sql_minhash_lsh()),

@@ -37,6 +37,18 @@ def windowed_event_counts(stream: DataFrame, ts: str = "ts",
     )
 
 
+def stream_exact_dedup(stream: DataFrame, ts: str = "ts",
+                       text: str = "text",
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: first occurrence of each md5(text) wins;
+    `dropDuplicatesWithinWatermark` bounds the dedup state store to the
+    watermark horizon — unbounded streams never accumulate unbounded
+    hash state (the batch exact_duplicates analog for ingest pipelines)."""
+    hashed = stream.withColumn("text_hash", F.md5(F.col(text)))
+    return (hashed.withWatermark(ts, watermark)
+            .dropDuplicatesWithinWatermark(["text_hash"]))
+
+
 def sessionize(stream: DataFrame, gap_seconds: int = 1800,
                user_col: str = "user_id", ts_col: str = "ts",
                use_timeout: bool = False) -> DataFrame:

@@ -73,3 +73,34 @@ def test_stream_assign_cells_stateless(spark, sf_dir, tmp_path):
         .select("doc_id", "cell_id").collect()
     }
     assert got == batch
+
+
+def test_stream_exact_dedup_first_wins(spark, tmp_path):
+    """Streaming dedup passes each distinct text once and keeps state
+    bounded by the watermark (dropDuplicatesWithinWatermark)."""
+    import os
+
+    from geoio_jl_spark.streaming.pipeline import stream_exact_dedup
+
+    src = tmp_path / "docs_dir"
+    src.mkdir()
+    pdf = pd.DataFrame({
+        "doc_id": range(8),
+        "ts": pd.to_datetime([f"2024-01-01 10:0{i % 4}:00" for i in range(8)]),
+        "text": ["alpha", "beta", "alpha", "gamma",
+                 "beta", "alpha", "delta", "gamma"],
+    })
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src / "p"))
+    files = [os.path.join(str(src / "p"), f)
+             for f in os.listdir(str(src / "p")) if f.endswith(".parquet")]
+    schema = spark.read.parquet(*files).schema
+    stream = spark.readStream.schema(schema).parquet(str(src / "p")) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = stream_exact_dedup(stream)
+    q = (out.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+         .start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT text FROM dedup_stream").collect()
+    assert sorted(r["text"] for r in got) == ["alpha", "beta", "delta", "gamma"]
