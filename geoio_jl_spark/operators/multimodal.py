@@ -38,6 +38,75 @@ MAGIC_AUD = b"FKAU"
 
 
 # ---------------------------------------------------------------------------
+# real audio codec: WAV/PCM via stdlib `wave` (16/8-bit int, mono/multi)
+# ---------------------------------------------------------------------------
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM bytes → (samples float64 in [-1, 1] shaped
+    (n, channels), sample_rate)."""
+    import io
+    import wave
+    with wave.open(io.BytesIO(buf)) as w:
+        nch, width, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        a = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        a = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 4:
+        a = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    return a.reshape(-1, nch), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """(n, channels) float in [-1, 1] → 16-bit PCM WAV bytes."""
+    import io
+    import wave
+    a = np.asarray(samples, np.float64)
+    if a.ndim == 1:
+        a = a[:, None]
+    pcm = np.clip(np.round(a * 32767.0), -32768, 32767).astype("<i2")
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(a.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return bio.getvalue()
+
+
+def audio_features(df: DataFrame, col: str = "audio",
+                   out: str = "features") -> DataFrame:
+    """WAV binary → array<float>: [duration_sec, rms, peak,
+    zero_crossing_rate] per channel-mixed signal (Arrow-batched)."""
+    ensure_pyfiles(df.sparkSession)
+
+    @F.pandas_udf("array<float>")
+    def _feat(blobs: pd.Series) -> pd.Series:
+        outv = []
+        for b in blobs:
+            if b is None:
+                outv.append(None)
+                continue
+            try:
+                a, rate = decode_wav(bytes(b))
+            except Exception:
+                outv.append(None)
+                continue
+            mono = a.mean(axis=1)
+            zc = float(np.mean(np.diff(np.signbit(mono)) != 0)) if len(mono) > 1 else 0.0
+            outv.append([len(mono) / rate,
+                         float(np.sqrt((mono ** 2).mean())) if len(mono) else 0.0,
+                         float(np.abs(mono).max()) if len(mono) else 0.0,
+                         zc])
+        return pd.Series(outv)
+
+    return df.withColumn(out, _feat(F.col(col)))
+
+
+# ---------------------------------------------------------------------------
 # fake container codecs (deterministic; the STUB layer)
 # ---------------------------------------------------------------------------
 

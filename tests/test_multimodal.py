@@ -109,3 +109,29 @@ def test_real_png_and_jpeg_through_pipeline(spark):
     a = M.decode_fake_image(bytes(rs[1]))
     assert a.shape == (12, 16, 3)
     np.testing.assert_array_equal(a, arr[::2, ::2, :])
+
+
+def test_real_wav_audio_features(spark):
+    """Audio codec is real for WAV/PCM (stdlib wave): duration, RMS,
+    peak, zero-crossing rate of a known sine are analytic."""
+    import numpy as np
+
+    from geoio_jl_spark.operators import multimodal as M
+
+    rate = 16000
+    t = np.arange(rate) / rate           # 1 second
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    wav = M.encode_wav(sine, rate)
+    back, r2 = M.decode_wav(wav)
+    assert r2 == rate and back.shape == (rate, 1)
+    np.testing.assert_allclose(back[:, 0], sine, atol=1e-4)
+    df = spark.createDataFrame([(1, bytearray(wav)), (2, None)],
+                               ["id", "audio"])
+    feats = {r["id"]: r["features"] for r in
+             M.audio_features(df).collect()}
+    dur, rms, peak, zcr = feats[1]
+    assert abs(dur - 1.0) < 1e-3
+    assert abs(rms - 0.5 / np.sqrt(2)) < 1e-3   # sine RMS = A/sqrt(2)
+    assert abs(peak - 0.5) < 1e-3
+    assert abs(zcr - 2 * 440 / rate) < 1e-3     # 2f crossings/sec
+    assert feats[2] is None
