@@ -57,11 +57,23 @@ def lsh_signature_sql(emb: str, dialect: str, n_planes: int = N_PLANES) -> str:
 
 
 def ann_candidate_pairs(emb_df: DataFrame, id_col: str = "vec_id",
-                        emb_col: str = "embedding") -> DataFrame:
+                        emb_col: str = "embedding",
+                        max_bucket: int | None = None) -> DataFrame:
     """Bucket embeddings by LSH signature; candidate pairs share a bucket.
-    The bucket join is a plain equi-join — Catalyst/AQE territory."""
+    The bucket join is a plain equi-join — Catalyst/AQE territory.
+
+    ``max_bucket`` applies the same stop-list rule as the shingle DF cap:
+    a bucket of n members emits n² pair rows, so signatures holding more
+    than max_bucket vectors (degenerate regions: zero vectors, template
+    embeddings) are excluded via broadcast anti-join before the self-join.
+    Documented recall trade — oversized buckets carry near-zero
+    discriminative value at web scale."""
     sig = emb_df.select(
         id_col, F.expr(lsh_signature_sql(emb_col, "spark")).alias("sig"))
+    if max_bucket is not None:
+        hot = (sig.groupBy("sig").agg(F.count("*").alias("n"))
+               .filter(F.col("n") > max_bucket).select("sig"))
+        sig = sig.join(F.broadcast(hot), "sig", "left_anti")
     left = sig.alias("l")
     right = sig.alias("r")
     return (
