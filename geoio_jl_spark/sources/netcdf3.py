@@ -235,17 +235,27 @@ def write(df: DataFrame, path: str, x: str = "x", y: str = "y",
                          "(cdm.jl:100-102 grid-only constraint)")
     if value_cols is None:
         value_cols = [c for c in pdf.columns
-                      if c not in (x, y, "i", "j", "cell_id")
-                      and pdf[c].dtype != object]
+                      if c not in (x, y, "i", "j", "cell_id", "k", "z")]
+    # list columns = per-cell time series → (t, y, x) variables, the
+    # reference's save shape (cdm.jl:139-146: dnames = [tname, cnames...];
+    # the t dim gets no coordinate variable, matching the reference)
+    scalar_cols = [c for c in value_cols if pdf[c].dtype != object]
+    array_cols = [c for c in value_cols
+                  if pdf[c].dtype == object
+                  and isinstance(pdf[c].iloc[0], (list, np.ndarray))]
+    nt = len(pdf[array_cols[0]].iloc[0]) if array_cols else 0
     from geoio_jl_spark.functions import cfgrid
     gm_atts = cfgrid.crs_to_gm(crs_desc) if crs_desc else None
     val_atts = {"grid_mapping": "crs"} if gm_atts else None
+    ndims = 2 + (1 if array_cols else 0)
     header = b"CDF\x01" + struct.pack(">i", 0)
-    header += struct.pack(">ii", 10, 2)  # dim_list
+    header += struct.pack(">ii", 10, ndims)  # dim_list
     header += _w_name(y) + struct.pack(">i", ny)
     header += _w_name(x) + struct.pack(">i", nx)
+    if array_cols:
+        header += _w_name("t") + struct.pack(">i", nt)
     header += struct.pack(">ii", 0, 0)  # no gatts
-    nvars = 2 + len(value_cols) + (1 if gm_atts else 0)
+    nvars = 2 + len(scalar_cols) + len(array_cols) + (1 if gm_atts else 0)
     var_list = struct.pack(">ii", 11, nvars)
     # layout: header then data blocks in order y, x, value vars[, crs]
     def var_entry(nm, dimids, begin, vsize, nc_type, atts):
@@ -261,7 +271,9 @@ def write(df: DataFrame, path: str, x: str = "x", y: str = "y",
     entries = [(y, [0], ny * 8, NC_DOUBLE, None),
                (x, [1], nx * 8, NC_DOUBLE, None)]
     entries += [(c, [0, 1], ny * nx * 8, NC_DOUBLE, val_atts)
-                for c in value_cols]
+                for c in scalar_cols]
+    entries += [(c, [2, 0, 1], nt * ny * nx * 8, NC_DOUBLE, val_atts)
+                for c in array_cols]
     if gm_atts:
         entries.append(("crs", [], 4, NC_INT, gm_atts))
     # compute header size first with dummy begins, then fix up
@@ -279,8 +291,13 @@ def write(df: DataFrame, path: str, x: str = "x", y: str = "y",
         f.write(header + body)
         f.write(np.asarray(ys, ">f8").tobytes())
         f.write(np.asarray(xs, ">f8").tobytes())
-        for c in value_cols:
+        for c in scalar_cols:
             grid = np.asarray(pdf[c], np.float64).reshape(ny, nx)
             f.write(grid.astype(">f8").tobytes())
+        for c in array_cols:
+            # rows sorted (j, i); stack → (ny*nx, nt) → (t, y, x)
+            cube = np.array([np.asarray(v, np.float64)
+                             for v in pdf[c]]).reshape(ny, nx, nt)
+            f.write(cube.transpose(2, 0, 1).astype(">f8").tobytes())
         if gm_atts:
             f.write(struct.pack(">i", 0))  # crs scalar placeholder value

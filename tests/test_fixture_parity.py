@@ -412,3 +412,26 @@ def test_grib_gaussian_grid(spark):
     df = _load(spark, "regular_gg_ml.grib")
     assert df.count() == 8192
     assert "t" in df.columns
+
+
+def test_netcdf_save_roundtrip_time_series(spark, tmp_path):
+    """The reference's save testset: load test.nc, save, reload,
+    equal (io/netcdf.jl:55-61) — here HDF5 read → classic write →
+    classic read, a genuine cross-codec differential including the
+    (t, y, x) time-series variable and its NaN fill values."""
+    df1 = _load(spark, "test.nc")
+    out = str(tmp_path / "resaved.nc")
+    netcdf3.write(df1.select("cell_id", "i", "j", "x", "y", "tempanomaly"),
+                  out)
+    df2 = netcdf3.read(spark, out)
+    a = {(r["i"], r["j"]): r["tempanomaly"]
+         for r in df1.collect()}
+    b = {(r["i"], r["j"]): r["tempanomaly"] for r in df2.collect()}
+    assert set(a) == set(b) and len(a) == 121
+    for k in a:
+        va = np.asarray(a[k], float)
+        vb = np.asarray(b[k], float)
+        assert len(va) == len(vb) == 100
+        mask = ~np.isnan(va)
+        assert (mask == ~np.isnan(vb)).all()
+        np.testing.assert_allclose(va[mask], vb[mask], rtol=1e-6)
