@@ -68,6 +68,25 @@ def cell_id_sql(lon_i: str, lat_i: str, res: int) -> str:
     )
 
 
+_Z_SPREADS = [(8, 0x00FF00FF00FF00FF), (4, 0x0F0F0F0F0F0F0F0F),
+              (2, 0x3333333333333333), (1, 0x5555555555555555)]
+
+
+def zorder_sql(i_expr: str, j_expr: str, dialect: str) -> str:
+    """Morton interleave of two 16-bit coords — identical arithmetic in
+    both dialects (Spark: shiftleft(); DuckDB: <<)."""
+    shl = (lambda x, n: f"shiftleft({x}, {n})") if dialect == "spark" \
+        else (lambda x, n: f"(({x}) << {n})")
+
+    def spread(e: str) -> str:
+        out = f"(CAST({e} AS BIGINT) & 65535)"
+        for s, m in _Z_SPREADS:
+            out = f"(({out} | {shl(out, s)}) & {m})"
+        return out
+
+    return f"({spread(i_expr)} | {shl(spread(j_expr), 1)})"
+
+
 # ---------------------------------------------------------------------------
 # Polygon (triangle) derivation from nation.n_nationkey — integer vertices on
 # the centidegree lattice, CCW orientation.  Used as the polygon side of the

@@ -227,6 +227,20 @@ GROUP BY 1
 """
 
 
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton key per document (operators/zorder.py clustering key) —
+    the exact shift/mask interleave reproduced in both dialects. i/j are
+    the centidegree coords folded to 16 bits."""
+    z = D.zorder_sql("(lon_i % 65536)", "(lat_i % 65536)", "spark")
+    return (_docs_points(spark, sf_dir)
+            .select("doc_id", F.expr(z).alias("zorder")))
+
+
+def _sql_zorder_cells() -> str:
+    z = D.zorder_sql("(lon_i % 65536)", "(lat_i % 65536)", "duckdb")
+    return f"SELECT doc_id, {z} AS zorder FROM ({_ORACLE_DOCS})"
+
+
 # ---------------------------------------------------------------------------
 # Q: missing-geometry filter / anti-filter (P3/P4, gis.jl:76-88,
 #    loadvalues rows=:invalid load.jl:206-210) — NULLs planted by formula
@@ -1005,6 +1019,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "bbox_range_join": (q_bbox_join, SQL_BBOX_JOIN),
         "extent": (q_extent, SQL_EXTENT),
         "cell_counts": (q_cell_counts, SQL_CELL_COUNTS),
+        "zorder_cells": (q_zorder_cells, _sql_zorder_cells()),
         "valid_counts": (q_valid_counts, SQL_VALID_COUNTS),
         "invalid_rows": (q_invalid_rows, SQL_INVALID_ROWS),
         "centroid": (q_centroid, SQL_CENTROID),
