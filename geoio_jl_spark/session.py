@@ -31,6 +31,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # spill-aware sizing: 128 MiB scan splits keep per-task working
+        # sets bounded regardless of file count at the target SF; the
+        # advisory post-shuffle size gives AQE a concrete coalesce target
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864")
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
