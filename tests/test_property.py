@@ -97,3 +97,44 @@ def test_containment_matches_matplotlib_free_reference(ring, px, py):
             if xint > px:
                 inside = not inside
     assert got == (inside or on_edge)
+
+
+@given(st.lists(st.tuples(st.integers(1, 16), st.integers(0, 2**16 - 1)),
+                min_size=1, max_size=400))
+@settings(max_examples=50, deadline=None)
+def test_jpeg_bitstream_roundtrip(items):
+    """JPEG entropy bit writer/reader are exact inverses through byte
+    stuffing for arbitrary (length, value) streams."""
+    from geoio_jl_spark.sources.jpeg import _BitReader, _BitWriter
+    w = _BitWriter()
+    vals = [(v & ((1 << n) - 1), n) for n, v in items]
+    for v, n in vals:
+        w.write(v, n)
+    w.flush()
+    raw = bytes(w.out)
+    data = bytearray()
+    i = 0
+    while i < len(raw):  # destuff FF00 exactly as the scan decoder does
+        data.append(raw[i])
+        i += 2 if raw[i] == 0xFF and i + 1 < len(raw) and raw[i+1] == 0 else 1
+    r = _BitReader(bytes(data))
+    assert [(r.read(n), n) for _v, n in vals] == vals
+
+
+@given(st.integers(1, 16), st.integers(-30, 30), st.integers(0, 3),
+       st.lists(st.integers(0, 2**13 - 1), min_size=1, max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_grib_simple_packing_unpack(nbits, E, D_, xs):
+    """GRIB2 simple packing: bit-packed X decode to R + 2^E X 10^-D for
+    arbitrary widths, against a per-value python reference."""
+    import numpy as np
+
+    from geoio_jl_spark.sources.grib2 import _unpack_simple
+    xs = [x & ((1 << nbits) - 1) for x in xs]
+    bits = "".join(format(x, f"0{nbits}b") for x in xs)
+    bits += "0" * (-len(bits) % 8)
+    data = int(bits, 2).to_bytes(len(bits) // 8, "big") if bits else b""
+    pack = {"n": len(xs), "R": 3.25, "E": E, "D": D_, "nbits": nbits}
+    got = _unpack_simple(data, pack)
+    want = [3.25 + x * 2.0**E * 10.0**-D_ for x in xs]
+    np.testing.assert_allclose(got, want, rtol=1e-12)
