@@ -159,6 +159,10 @@ def read(spark: SparkSession, path: str) -> DataFrame:
     level when a (name, level_type) repeats across messages."""
     msgs = read_raw(path)
     g0 = msgs[0]
+    for m in msgs[1:]:
+        if m["values"].shape != g0["values"].shape:
+            raise ValueError("GRIB messages on different grids in one "
+                             "file — load them separately")
     lons, lats = g0["lons"], g0["lats"]
     ni, nj = len(lons), len(lats)
     cell = np.arange(ni * nj, dtype=np.int64)

@@ -75,20 +75,25 @@ class H5File:
             yield from self._msgs_v1(oh + 16, size, nmsgs)
 
     def _msgs_v1(self, start: int, size: int, nmsgs: int):
-        b = self.buf
-        pos, end, seen = start, start + size, 0
-        while seen < nmsgs and pos + 8 <= end:
-            mtype = self._u(pos, 2)
-            msize = self._u(pos + 2, 2)
-            pos += 8
-            seen += 1
-            if mtype == 0x10:  # continuation: addr + len
-                caddr = self._u(pos, self.offsz)
-                clen = self._u(pos + self.offsz, self.lensz)
-                yield from self._msgs_v1(caddr, clen, nmsgs - seen)
-            else:
-                yield mtype, pos, msize
-            pos += msize
+        # nmsgs counts messages ACROSS all blocks; messages after a
+        # continuation message in the same block still belong, so blocks
+        # are processed as a queue with one shared counter
+        blocks = [(start, start + size)]
+        seen = 0
+        while blocks and seen < nmsgs:
+            pos, end = blocks.pop(0)
+            while seen < nmsgs and pos + 8 <= end:
+                mtype = self._u(pos, 2)
+                msize = self._u(pos + 2, 2)
+                pos += 8
+                seen += 1
+                if mtype == 0x10:  # continuation: addr + len
+                    caddr = self._u(pos, self.offsz)
+                    clen = self._u(pos + self.offsz, self.lensz)
+                    blocks.append((caddr, caddr + clen))
+                else:
+                    yield mtype, pos, msize
+                pos += msize
 
     def _msgs_v2(self, start: int, end: int, corder: bool):
         b = self.buf
