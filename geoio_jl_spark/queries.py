@@ -884,6 +884,42 @@ FROM (SELECT doc_id, lon_i / 100.0 - 180.0 AS lon, lat_i / 100.0 - 85.0 AS lat
 """
 
 
+_E_WGS84 = 0.0818191908426215  # sqrt(e2), e2 = f(2-f), f = 1/298.257223563
+
+
+def q_mercator3395(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ellipsoidal Mercator (EPSG:3395, F15) as pure JVM column math —
+    the conformal-latitude term written as (e/2)·ln((1−e·sinφ)/(1+e·sinφ))
+    so both engines evaluate the identical ln/tan/sin compositions (no
+    pow), mm-rounded like the webmercator oracle."""
+    pts = _docs_points(spark, sf_dir).select(
+        "doc_id",
+        (F.col("lon_i") / 100.0 - 180.0).alias("lon"),
+        (F.col("lat_i") / 100.0 - 85.0).alias("lat"),
+    )
+    lat_c = F.least(F.greatest(F.col("lat"), F.lit(-89.9999)), F.lit(89.9999))
+    es = F.lit(_E_WGS84) * F.sin(F.radians(lat_c))
+    x = F.lit(6378137.0) * F.radians(F.col("lon"))
+    y = F.lit(6378137.0) * (
+        F.log(F.tan(F.lit(0.7853981633974483) + F.radians(lat_c) / 2))
+        + F.lit(_E_WGS84 / 2.0) * F.log((F.lit(1.0) - es) / (F.lit(1.0) + es)))
+    return pts.select("doc_id", F.round(x, 4).alias("merc_x"),
+                      F.round(y, 4).alias("merc_y"))
+
+
+SQL_MERCATOR3395 = f"""
+SELECT doc_id,
+  round(6378137.0 * radians(lon), 4) AS merc_x,
+  round(6378137.0 * (ln(tan(pi() / 4.0 + radians(lat_c) / 2))
+        + {_E_WGS84 / 2.0} * ln((1.0 - {_E_WGS84} * sin(radians(lat_c)))
+                               / (1.0 + {_E_WGS84} * sin(radians(lat_c))))),
+        4) AS merc_y
+FROM (SELECT doc_id, lon, least(greatest(lat, -89.9999), 89.9999) AS lat_c
+      FROM (SELECT doc_id, lon_i / 100.0 - 180.0 AS lon,
+                   lat_i / 100.0 - 85.0 AS lat FROM ({_ORACLE_DOCS})))
+"""
+
+
 # ---------------------------------------------------------------------------
 # Q: as-of join (from-scratch window plan vs DuckDB's native ASOF JOIN)
 # ---------------------------------------------------------------------------
@@ -1043,6 +1079,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "vertex_dedup": (q_vertex_dedup, SQL_VERTEX_DEDUP),
         "layer_select": (q_layer_select, SQL_LAYER_SELECT),
         "webmercator": (q_webmercator, SQL_WEBMERCATOR),
+        "mercator3395": (q_mercator3395, SQL_MERCATOR3395),
         "asof_join": (q_asof_join, SQL_ASOF_JOIN),
         "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
         "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),
