@@ -30,10 +30,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "pip_count", "pip_pairs_salted", "knn_join", "knn_join_partial",
     "bbox_range_join", "cell_counts", "grid_tiles", "token_stats",
-    "exact_dedup", "minhash_lsh", "ngram_jaccard", "ngram_jaccard_capped",
-    "simhash",
+    "exact_dedup", "minhash_lsh", "minhash_star_edges", "ngram_jaccard",
+    "ngram_jaccard_capped", "simhash",
     "cosine_topk", "embedding_near_dup", "events_window", "events_rollup",
-    "asof_join", "bpe_tokens",
+    "asof_join", "bpe_tokens", "gopher_filter", "zorder_cells",
+    "mercator3395",
 ]
 
 
