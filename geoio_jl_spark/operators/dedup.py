@@ -23,12 +23,37 @@ from geoio_jl_spark import dialect as D
 
 
 def shingles_expr(text_col: str = "text", n: int = 3) -> str:
+    """n-gram shingles. The tokenizer output MUST be materialized as a
+    column before the transform lambda: inlining tokens_sql here makes
+    Spark re-evaluate split(text) inside the lambda per position —
+    O(tokens²) per document (measured 20× on sf0.1). Callers should
+    prefer exploded_shingles()."""
     toks = D.tokens_sql(text_col, "spark")
     parts = ", ".join(f"element_at({toks}, i + {k})" for k in range(n))
     return (
         f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
         f"i -> concat_ws(' ', {parts}))"
     )
+
+
+def shingles_from_tokens(toks_col: str, n: int = 3) -> str:
+    """Shingle transform over an ALREADY-materialized token array."""
+    parts = ", ".join(f"element_at({toks_col}, i + {k})" for k in range(n))
+    return (
+        f"transform(sequence(1, greatest(size({toks_col}) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', {parts}))"
+    )
+
+
+def exploded_shingles(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, sh) rows: tokenize once per row (projection), then shingle
+    over the token array column — linear in tokens."""
+    return (docs
+            .select(id_col, F.expr(D.tokens_sql(text_col, "spark"))
+                    .alias("toks"))
+            .select(id_col, F.explode(
+                F.expr(shingles_from_tokens("toks", n))).alias("sh")))
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text",
@@ -41,10 +66,20 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
-    sh = docs.select(
-        id_col, F.explode(F.expr(shingles_expr(text_col))).alias("sh")
-    ).withColumn("h", F.expr(D.md5_int60("sh", "spark")) % F.lit(D.MINHASH_P))
+                       id_col: str = "doc_id",
+                       fast_hash: bool = False) -> DataFrame:
+    """``fast_hash=True`` swaps the dialect-portable md5-substring hash
+    (needed for the DuckDB oracle, but it materializes a hex string per
+    shingle) for JVM-native xxhash64 — ~an order of magnitude cheaper
+    per shingle and the right choice at 100 TB where no cross-engine
+    replay is needed. Bucket contents differ; dedup semantics (equal
+    shingle sets → equal signatures) are identical."""
+    if fast_hash:
+        h = (F.pmod(F.xxhash64(F.col("sh")), F.lit(D.MINHASH_P))
+             .cast("bigint"))
+    else:
+        h = F.expr(D.md5_int60("sh", "spark")) % F.lit(D.MINHASH_P)
+    sh = exploded_shingles(docs, text_col, id_col).withColumn("h", h)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(D.MINHASH_P)).alias(f"mh{j}")
         for j, (a, b) in enumerate(D.MINHASH_SEEDS)
@@ -134,10 +169,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     is tiny by construction, so it excludes via broadcast anti-join;
     intersection AND union are computed over the capped shingle sets, so
     the result is the exact Jaccard of the filtered feature space."""
-    sh = (
-        docs.select(id_col, F.explode(F.expr(shingles_expr(text_col))).alias("sh"))
-        .distinct()
-    )
+    sh = exploded_shingles(docs, text_col, id_col).distinct()
     if max_df is not None:
         hot = (sh.groupBy("sh").agg(F.count("*").alias("df"))
                .filter(F.col("df") > max_df).select("sh"))

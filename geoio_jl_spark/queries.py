@@ -484,15 +484,6 @@ FROM documents GROUP BY 1
 """
 
 
-def _shingles_spark() -> str:
-    toks = D.tokens_sql("text", "spark")
-    return (
-        f"transform(sequence(1, greatest(size({toks}) - 2, 0)), "
-        f"i -> concat_ws(' ', element_at({toks}, i), "
-        f"element_at({toks}, i + 1), element_at({toks}, i + 2)))"
-    )
-
-
 def _shingles_duckdb() -> str:
     toks = D.tokens_sql("text", "duckdb")
     return (
@@ -506,10 +497,11 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shingle → md5-int hash → 16 universal-hash mins → 4 bands of 4 →
     pairs sharing any band signature."""
+    from geoio_jl_spark.operators.dedup import exploded_shingles
     docs = _read(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(F.expr(_shingles_spark())).alias("sh")
-    ).withColumn(
+    # tokenize once per row before the shingle lambda — inlining the
+    # split inside transform() re-evaluates it per position (O(tokens²))
+    sh = exploded_shingles(docs).withColumn(
         "h", F.expr(D.md5_int60("sh", "spark")) % F.lit(D.MINHASH_P)
     )
     aggs = [
@@ -601,12 +593,9 @@ SELECT DISTINCT rep, member FROM star WHERE member != rep
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup: distinct-shingle inverted index →
     pairs sharing >= 2 shingles, with exact intersection / union sizes."""
+    from geoio_jl_spark.operators.dedup import exploded_shingles
     docs = _read(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", F.explode(F.expr(_shingles_spark())).alias("sh"))
-        .distinct()
-        .persist()
-    )
+    sh = exploded_shingles(docs).distinct().persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pairs = (
         sh.alias("l").join(sh.alias("r"), "sh")
