@@ -22,22 +22,12 @@ from pyspark.sql import functions as F
 from geoio_jl_spark import dialect as D
 
 
-def shingles_expr(text_col: str = "text", n: int = 3) -> str:
-    """n-gram shingles. The tokenizer output MUST be materialized as a
-    column before the transform lambda: inlining tokens_sql here makes
-    Spark re-evaluate split(text) inside the lambda per position —
-    O(tokens²) per document (measured 20× on sf0.1). Callers should
-    prefer exploded_shingles()."""
-    toks = D.tokens_sql(text_col, "spark")
-    parts = ", ".join(f"element_at({toks}, i + {k})" for k in range(n))
-    return (
-        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', {parts}))"
-    )
-
-
 def shingles_from_tokens(toks_col: str, n: int = 3) -> str:
-    """Shingle transform over an ALREADY-materialized token array."""
+    """Shingle transform over an ALREADY-materialized token array.
+    (The array must be a real column: inlining the tokenizer expression
+    here makes Spark re-evaluate split(text) inside the lambda for
+    every position — O(tokens²) per document, measured 20× slower at
+    sf0.1. Use exploded_shingles for the two-step projection.)"""
     parts = ", ".join(f"element_at({toks_col}, i + {k})" for k in range(n))
     return (
         f"transform(sequence(1, greatest(size({toks_col}) - {n - 1}, 0)), "
