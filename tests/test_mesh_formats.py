@@ -94,3 +94,27 @@ def test_registry_includes_new_formats(spark):
     from geoio_jl_spark.sources import registry
     exts = set(registry.formats()["extension"])
     assert {".ply", ".msh", ".gslib", ".shp"} <= exts
+
+
+def test_ply_binary_roundtrip(spark, tmp_path):
+    """binary_little_endian PLY: write binary, read back, equal to the
+    ascii form of the same mesh (reference PlyIO handles both)."""
+    from geoio_jl_spark.sources import ply
+    v1, e1 = ply.read(spark, "/root/reference/test/data/beethoven.ply")
+    out = str(tmp_path / "bin.ply")
+    ply.write(v1, e1, out, fmt="binary_little_endian")
+    with open(out, "rb") as f:
+        assert b"binary_little_endian" in f.read(64)
+    v2, e2 = ply.read(spark, out)
+    assert v2.count() == v1.count() == 2521
+    assert e2.count() == e1.count() == 5030
+    a = {r["vid"]: (round(r["x"], 3), round(r["y"], 3), round(r["z"], 3))
+         for r in v1.collect()}
+    b = {r["vid"]: (round(r["x"], 3), round(r["y"], 3), round(r["z"], 3))
+         for r in v2.collect()}
+    # PLY float properties are float32 on disk: compare at f32 precision
+    for k in a:
+        assert all(abs(x - y) < 2e-3 for x, y in zip(a[k], b[k])), k
+    fa = {r["eid"]: r["vids"] for r in e1.collect()}
+    fb = {r["eid"]: r["vids"] for r in e2.collect()}
+    assert fa == fb
