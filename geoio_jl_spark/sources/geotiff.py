@@ -100,9 +100,56 @@ def _unpackbits(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _unlzw(data: bytes) -> bytes:
+    """TIFF-variant LZW (compression 5): MSB-first bit packing, codes
+    256=ClearCode, 257=EOI, early code-width change (TIFF spec §13)."""
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    acc = bits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        bits += 8
+        while bits >= width:
+            code = (acc >> (bits - width)) & ((1 << width) - 1)
+            bits -= width
+            if code == 256:
+                reset()
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:  # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # TIFF early change: the encoder widens when ITS next code
+            # hits 2^w-1; the decoder's table lags one entry behind, so
+            # it widens at 2^w-2 (510/1022/2046)
+            if len(table) >= (1 << width) - 2 and width < 12:
+                width += 1
+    return bytes(out)
+
+
 def _decompress_strip(raw: bytes, comp: int) -> bytes:
     if comp == 1:
         return raw
+    if comp == 5:
+        return _unlzw(raw)
     if comp in (8, 32946):  # Deflate / legacy Deflate
         return zlib.decompress(raw)
     if comp == 32773:

@@ -59,3 +59,58 @@ def test_incomplete_grid_rejected(spark, tmp_path):
     df = _grid(spark, GridSpec(nx=3, ny=3)).filter("cell_id != 4")
     with pytest.raises(ValueError, match="complete 2D grid"):
         GT.write(df, str(tmp_path / "bad.tif"))
+
+
+def test_tiff_lzw_decode_against_independent_encoder():
+    """TIFF LZW (compression 5): the decoder is checked against an
+    independent in-test encoder written straight from the published
+    TIFF §13 algorithm (MSB-first packing, ClearCode 256, EOI 257,
+    early code-width change) — incl. the KwKwK corner case."""
+    import numpy as np
+
+    from geoio_jl_spark.sources.geotiff import _unlzw
+
+    def lzw_encode(data: bytes) -> bytes:
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        width = 9
+        out = bytearray()
+        acc = bits = 0
+
+        def emit(code):
+            nonlocal acc, bits
+            acc = (acc << width) | code
+            bits += width
+            while bits >= 8:
+                out.append((acc >> (bits - 8)) & 0xFF)
+                bits -= 8
+
+        emit(256)  # ClearCode first, per spec
+        w = b""
+        for ch in data:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+                continue
+            emit(table[w])
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1  # early change: encoder bumps at 510/1022/2046
+            w = bytes([ch])
+        if w:
+            emit(table[w])
+        emit(257)  # EOI
+        if bits:
+            out.append((acc << (8 - bits)) & 0xFF)
+        return bytes(out)
+
+    rng = np.random.default_rng(13)
+    cases = [
+        b"TOBEORNOTTOBEORTOBEORNOT",            # classic vector
+        b"aaaaaaaaaaaaaaaaaaaa",                 # KwKwK chains
+        bytes(rng.integers(0, 4, 5000).astype(np.uint8)),  # grows table
+        bytes(rng.integers(0, 256, 3000).astype(np.uint8)),
+    ]
+    for data in cases:
+        assert _unlzw(lzw_encode(data)) == data
