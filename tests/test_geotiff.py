@@ -114,3 +114,35 @@ def test_tiff_lzw_decode_against_independent_encoder():
     ]
     for data in cases:
         assert _unlzw(lzw_encode(data)) == data
+
+
+def test_tiled_cog_roundtrip(spark, tmp_path):
+    """tiled=N write (Deflate tiles, the COG layout) round-trips through
+    the tile-aware reader, including partial edge tiles."""
+    import os
+
+    import numpy as np
+
+    from geoio_jl_spark.sources import geotiff
+
+    h, w = 37, 53  # deliberately not multiples of the tile size
+    rng = np.random.default_rng(21)
+    vals = rng.normal(size=(h, w)).astype(np.float32)
+    cell = np.arange(h * w)
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "cell_id": cell, "i": cell % w, "j": cell // w,
+        "x": (cell % w) * 0.5 - 10.0, "y": 20.0 - (cell // w) * 0.5,
+        "channel_1": vals.reshape(-1)})
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "tiled.tif")
+    geotiff.write(df, path, tiled=16)
+    arr, A, b, epsg = geotiff.read_raw(path)
+    assert arr.shape == (h, w, 1)
+    np.testing.assert_allclose(arr[:, :, 0], vals, rtol=1e-6)
+    assert abs(A[0][0] - 0.5) < 1e-9 and abs(b[0] + 10.0) < 1e-9
+    # and the strip writer still round-trips the same frame
+    path2 = str(tmp_path / "strips.tif")
+    geotiff.write(df, path2)
+    arr2, _, _, _ = geotiff.read_raw(path2)
+    np.testing.assert_allclose(arr2[:, :, 0], vals, rtol=1e-6)
