@@ -140,9 +140,15 @@ def read(spark: SparkSession, path: str, layer: int = 1,
     # and empty layers otherwise infer NullType and break the read
     from pyspark.sql import types as T
 
+    _GEOM_DECLS = ("GEOMETRY", "POINT", "LINESTRING", "POLYGON",
+                   "MULTIPOINT", "MULTILINESTRING", "MULTIPOLYGON",
+                   "GEOMETRYCOLLECTION", "CURVE", "SURFACE")
+
     def _spark_type(name: str, decl: str | None):
         d = (decl or "").upper()
-        if name == gcol or "BLOB" in d:
+        # geometry type names first: 'POINT'/'MULTIPOINT' contain 'INT'
+        # and would otherwise be typed LongType, breaking the blob read
+        if name == gcol or "BLOB" in d or d in _GEOM_DECLS:
             return T.BinaryType()
         if "INT" in d:
             return T.LongType()

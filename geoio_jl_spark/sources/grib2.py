@@ -103,7 +103,10 @@ def _decode_message(msg: bytes, discipline: int) -> dict:
             lvl_type = s[22]
             lvl_scale = s[23]
             lvl_val = _i(s, 24, 4)
-            level = lvl_val / (10 ** lvl_scale if lvl_scale < 128 else 1)
+            if lvl_scale == 0xFF or lvl_val == 0xFFFFFFFF:  # missing
+                level = float("nan")
+            else:  # scale is sign-magnitude: scale -1 → multiply by 10
+                level = lvl_val * 10.0 ** -_sm(lvl_scale, 8)
             prod = {"cat": cat, "num": num, "level_type": lvl_type,
                     "level": level}
         elif sec == 5:
@@ -132,7 +135,13 @@ def _decode_message(msg: bytes, discipline: int) -> dict:
             name = _PARAM.get((discipline, prod["cat"], prod["num"]),
                               f"var{discipline}_{prod['cat']}_{prod['num']}")
             arr = vals.reshape(grid["nj"], grid["ni"])
-            if grid["scan"] & 0x40:  # +j scan: south → north; flip
+            lats = grid["lats"]
+            # Flip only when the stored lats run north→south while the
+            # scan order runs south→north (+j, 0x40). Template 3.0 lats
+            # are linspace(la1, la2) in scan order, so they already match
+            # the data rows; Gaussian lats are built north→south
+            # regardless of scan, so a +j scan needs the flip.
+            if (grid["scan"] & 0x40) and len(lats) > 1 and lats[0] > lats[-1]:
                 arr = arr[::-1]
             return {"lons": grid["lons"], "lats": grid["lats"],
                     "values": arr, "name": name,
@@ -160,7 +169,9 @@ def read(spark: SparkSession, path: str) -> DataFrame:
     msgs = read_raw(path)
     g0 = msgs[0]
     for m in msgs[1:]:
-        if m["values"].shape != g0["values"].shape:
+        if (m["values"].shape != g0["values"].shape
+                or not np.allclose(m["lats"], g0["lats"])
+                or not np.allclose(m["lons"], g0["lons"])):
             raise ValueError("GRIB messages on different grids in one "
                              "file — load them separately")
     lons, lats = g0["lons"], g0["lats"]

@@ -101,3 +101,24 @@ def test_resolve_srs_sentinel_order():
     assert gpkg.resolve_srs(4326, "EPSG", -1) == "EPSG:4326"
     assert gpkg.resolve_srs(4326, "ESRI", 54017) == "ESRI:54017"
     assert gpkg.resolve_srs(0, "EPSG", 4326) == "GEOGRAPHIC:undefined"
+
+
+def test_geometry_declared_type_not_mistyped_as_int(spark, tmp_path):
+    """A non-primary column declared 'POINT'/'MULTIPOINT' contains 'INT'
+    as a substring; the declared-type heuristic must map it to binary,
+    not LongType (ADVICE r2: astype('Int64') on blobs failed the read)."""
+    df = spark.createDataFrame(geo_points_pdf(5))
+    path = str(tmp_path / "alt.gpkg")
+    gpkg.write(df, path, table="pts")
+    con = sqlite3.connect(path)
+    try:
+        con.execute('ALTER TABLE "pts" ADD COLUMN alt_geom MULTIPOINT')
+        blob = con.execute(
+            'SELECT geometry FROM "pts" LIMIT 1').fetchone()[0]
+        con.execute('UPDATE "pts" SET alt_geom = ?', (blob,))
+        con.commit()
+    finally:
+        con.close()
+    back = gpkg.read(spark, path)
+    assert back.count() == 5
+    assert dict(back.dtypes)["alt_geom"] == "binary"
