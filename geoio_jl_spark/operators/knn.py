@@ -7,10 +7,21 @@ Two physical strategies, both returning identical rows:
   |points| x |queries| candidate rows.  Fine when |queries| is tiny; this is
   the oracle-checked form (exact int64 squared distances).
 
-- ``knn_join_partial`` — the 100-TB shape: broadcast queries, compute a
-  *local* top-k per partition inside an Arrow-batched numpy kernel
-  (map-side combine), then merge the |partitions| x |queries| x k survivors
-  with one tiny shuffle.  Shuffle volume is O(P*Q*k), independent of |points|.
+- ``knn_join_partial`` — the 100-TB shape when queries touch the whole
+  table: broadcast queries, compute a *local* top-k per partition inside an
+  Arrow-batched numpy kernel (map-side combine), then merge the
+  |partitions| x |queries| x k survivors with one tiny shuffle.  Shuffle
+  volume is O(P*Q*k), independent of |points|.
+
+- ``knn_join_pruned`` — the scan-pruned probe (reference analog: the
+  GPKG R-tree index, gpkg.jl:411-448): per-cell counts (a tiny, reusable
+  stats table) drive a driver-side Chebyshev ring expansion
+  (``cells.neighbor_cells``) until each query has >= k candidates; the
+  covered rings give an *exact* upper bound on the kth distance, and the
+  resulting per-query coordinate rectangles become plain range predicates
+  that reach the parquet scan as PushedFilters — on a Z-order-clustered
+  layout (operators/zorder.py) the scan opens only the files whose footer
+  stats overlap the rectangles instead of reading every row.
 
 Distances are squared-Euclidean in integer centidegrees (exact, hash-stable
 across engines); ties break on the point id.
@@ -18,10 +29,15 @@ across engines); ties break on the point id.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from geoio_jl_spark import dialect
+from geoio_jl_spark.operators.cells import neighbor_cells
 
 
 def knn_join_window(points: DataFrame, queries: DataFrame, k: int,
@@ -85,3 +101,115 @@ def knn_join_partial(points: DataFrame, queries: DataFrame, k: int,
         .filter(F.col("rank") <= k)
         .select(qid, point_id, "dist2", "rank")
     )
+
+
+def cell_count_stats(points: DataFrame, res: int,
+                     px: str = "lon_i", py: str = "lat_i") -> DataFrame:
+    """Per-cell point counts at resolution ``res`` — the tiny stats table
+    that drives ring expansion.  A column-pruned 2-int scan + one partial
+    agg; at 100 TB this is computed once per layout (or maintained
+    incrementally) and reused across every kNN query batch, exactly like
+    the reference keeps its R-tree persistent in the GPKG file
+    (gpkg.jl:411-448) instead of rebuilding it per query."""
+    e = dialect.cell_edge_centideg(res)
+    return (points
+            .groupBy(F.floor(F.col(px) / F.lit(float(e))).cast("bigint").alias("cx"),
+                     F.floor(F.col(py) / F.lit(float(e))).cast("bigint").alias("cy"))
+            .agg(F.count("*").alias("n")))
+
+
+def _query_rects(qrows, stats: dict, k: int, e: int):
+    """Driver-side planning: for each query point, expand Chebyshev rings
+    (cells.neighbor_cells) over the occupied-cell stats until the covered
+    region holds >= k points, derive the exact max possible kth-NN
+    distance (far corner of the covered square), and emit the coordinate
+    rectangle that provably contains the true k nearest.
+
+    Soundness: the k nearest candidates inside rings 0..r are all within
+    d_max = dist(q, far corner of the ring-r square), so the true kth-NN
+    distance is <= d_max; every point at distance <= d_max lies in the
+    rectangle [qx-d, qx+d] x [qy-d, qy+d].  Exact integer math throughout.
+    """
+    total = sum(stats.values())
+    if not stats:
+        return []
+    occ_x = [c[0] for c in stats]
+    occ_y = [c[1] for c in stats]
+    rects = []
+    for q_id, qx, qy in qrows:
+        qcx, qcy = qx // e, qy // e
+        # worst-case ring: covers every occupied cell from this query cell
+        r_cap = max(max(abs(x - qcx) for x in occ_x),
+                    max(abs(y - qcy) for y in occ_y))
+        need = min(k, total)
+        cum = stats.get((qcx, qcy), 0)
+        r = 0
+        while cum < need and r < r_cap:
+            r += 1
+            cum += sum(stats.get(c, 0) for c in neighbor_cells(qcx, qcy, r))
+        # exact far-corner distance of the covered square region
+        dx = max(qx - (qcx - r) * e, (qcx + r + 1) * e - qx)
+        dy = max(qy - (qcy - r) * e, (qcy + r + 1) * e - qy)
+        d2 = dx * dx + dy * dy
+        d = math.isqrt(d2)
+        if d * d < d2:
+            d += 1
+        rects.append((q_id, qx, qy, qx - d, qx + d, qy - d, qy + d, d2))
+    return rects
+
+
+def knn_join_pruned(points: DataFrame, queries: DataFrame, k: int,
+                    res: int = 3,
+                    px: str = "lon_i", py: str = "lat_i",
+                    qid: str = "query_id", qx: str = "qx", qy: str = "qy",
+                    point_id: str = "doc_id",
+                    cell_stats: DataFrame | None = None) -> DataFrame:
+    """Scan-pruned exact kNN join (same rows as ``knn_join_window``).
+
+    Physical shape: one global range conjunct on (px, py) covering the
+    union of the per-query rectangles — a plain ``>=``/``<=`` filter that
+    Spark pushes into the parquet scan (PushedFilters; footer min/max
+    skipping on a Z-order-clustered layout) — then a broadcast join
+    against the <=|Q| rectangle rows with per-query range + distance-bound
+    predicates, then the usual window top-k over the surviving candidates.
+    Candidate volume is O(|Q| * k * ring-overshoot), independent of
+    |points|; nothing outside the rectangles is ever deserialized.
+    """
+    spark = points.sparkSession
+    if cell_stats is None:
+        cell_stats = cell_count_stats(points, res, px, py)
+    stats = {(r["cx"], r["cy"]): r["n"] for r in cell_stats.collect()}
+    e = dialect.cell_edge_centideg(res)
+    qrows = [(r[0], r[1], r[2])
+             for r in queries.select(qid, qx, qy).collect()]
+    rects = _query_rects(qrows, stats, k, e)
+    if not rects:
+        return (points.select(point_id).limit(0)
+                .withColumn(qid, F.lit(None).cast("bigint"))
+                .withColumn("dist2", F.lit(None).cast("bigint"))
+                .withColumn("rank", F.lit(None).cast("int"))
+                .select(qid, point_id, "dist2", "rank"))
+    rect_df = spark.createDataFrame(
+        rects, f"{qid} long, {qx} long, {qy} long, "
+               "x_lo long, x_hi long, y_lo long, y_hi long, d2_max long")
+    # one global conjunct over the rect union: this is the predicate that
+    # reaches the parquet scan (PushedFilters) and prunes files/row-groups
+    gx_lo = min(r[3] for r in rects)
+    gx_hi = max(r[4] for r in rects)
+    gy_lo = min(r[5] for r in rects)
+    gy_hi = max(r[6] for r in rects)
+    pruned = points.filter(
+        (F.col(px) >= gx_lo) & (F.col(px) <= gx_hi)
+        & (F.col(py) >= gy_lo) & (F.col(py) <= gy_hi))
+    cand = pruned.join(
+        F.broadcast(rect_df),
+        on=[F.col(px) >= F.col("x_lo"), F.col(px) <= F.col("x_hi"),
+            F.col(py) >= F.col("y_lo"), F.col(py) <= F.col("y_hi")])
+    dist = (F.col(px) - F.col(qx)) ** 2 + (F.col(py) - F.col(qy)) ** 2
+    w = Window.partitionBy(qid).orderBy(F.col("dist2").asc(),
+                                        F.col(point_id).asc())
+    return (cand.withColumn("dist2", dist.cast("bigint"))
+            .filter(F.col("dist2") <= F.col("d2_max"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(qid, point_id, "dist2", "rank"))

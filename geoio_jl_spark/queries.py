@@ -157,6 +157,15 @@ def q_knn_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result via the scan-pruned probe: cell-count stats →
+    neighbor_cells ring expansion → per-query rectangles pushed into the
+    scan (the reference's R-tree probe role, gpkg.jl:411-448)."""
+    return KNN.knn_join_pruned(
+        _docs_points(spark, sf_dir), _query_points(spark, sf_dir), k=5
+    )
+
+
 SQL_KNN = f"""
 WITH d AS ({_ORACLE_DOCS}),
 q AS (SELECT n_nationkey AS query_id, {D.TRI_CX} AS qx, {D.TRI_CY} AS qy FROM nation),
@@ -1041,6 +1050,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "pip_pairs_salted": (q_pip_pairs_salted, SQL_PIP_PAIRS_SALTED),
         "knn_join": (q_knn, SQL_KNN),
         "knn_join_partial": (q_knn_partial, SQL_KNN),
+        "knn_join_pruned": (q_knn_pruned, SQL_KNN),
         "bbox_range_join": (q_bbox_join, SQL_BBOX_JOIN),
         "extent": (q_extent, SQL_EXTENT),
         "cell_counts": (q_cell_counts, SQL_CELL_COUNTS),

@@ -51,3 +51,120 @@ def test_tie_break_deterministic(spark):
     rows = {r["rank"]: r["doc_id"]
             for r in KNN.knn_join_window(pts, qs, k=2).collect()}
     assert rows == {1: 10, 2: 20}
+
+
+def test_pruned_equals_window(spark):
+    """Ring-pruned probe (neighbor_cells expansion + rect pushdown) must
+    return exactly the window plan's rows, including ties."""
+    pts = _points(spark).repartition(6)
+    qs = _queries(spark)
+    a = KNN.knn_join_window(pts, qs, k=7).collect()
+    b = KNN.knn_join_pruned(pts, qs, k=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pruned_query_outside_extent(spark):
+    """Query far outside the data extent: rings must keep expanding (cap
+    at the occupied bounding box) and still return the true k nearest."""
+    pts = _points(spark, n=400)
+    qs = spark.createDataFrame(pd.DataFrame({
+        "query_id": [0, 1], "qx": [90000, 0], "qy": [90000, 0]}))
+    a = KNN.knn_join_window(pts, qs, k=5).collect()
+    b = KNN.knn_join_pruned(pts, qs, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pruned_k_larger_than_points(spark):
+    pts = _points(spark, n=3)
+    qs = _queries(spark).limit(2)
+    a = KNN.knn_join_window(pts, qs, k=10).collect()
+    b = KNN.knn_join_pruned(pts, qs, k=10).collect()
+    assert len(b) == 6 and sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pruned_empty_points(spark):
+    pts = _points(spark, n=1).filter("doc_id < 0")
+    out = KNN.knn_join_pruned(pts, _queries(spark), k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "doc_id", "dist2", "rank"]
+
+
+def test_pruned_dense_cluster_ring_zero(spark):
+    """All k neighbors in the query's own cell: rectangle stays one-ring
+    sized — the candidate count must be far below |points|."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    # dense blob at (5000, 5000) + uniform background
+    blob = pd.DataFrame({
+        "doc_id": range(500),
+        "lon_i": rng.integers(4900, 5100, 500),
+        "lat_i": rng.integers(4900, 5100, 500)})
+    bg = pd.DataFrame({
+        "doc_id": range(500, 3500),
+        "lon_i": rng.integers(0, 36000, 3000),
+        "lat_i": rng.integers(0, 17000, 3000)})
+    pts = spark.createDataFrame(pd.concat([blob, bg]))
+    qs = spark.createDataFrame(pd.DataFrame(
+        {"query_id": [0], "qx": [5000], "qy": [5000]}))
+    a = KNN.knn_join_window(pts, qs, k=5).collect()
+    b = KNN.knn_join_pruned(pts, qs, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # the global rect covers <= (2*2*400)^2 coords ≈ tiny vs full extent
+    from geoio_jl_spark.operators.knn import _query_rects, cell_count_stats
+    stats = {(r["cx"], r["cy"]): r["n"]
+             for r in cell_count_stats(pts, 3).collect()}
+    (qid, qx, qy, x_lo, x_hi, y_lo, y_hi, d2) = _query_rects(
+        [(0, 5000, 5000)], stats, 5, 400)[0]
+    assert x_hi - x_lo <= 4 * 400  # ring 0 far corner < 2 cells each way
+
+
+def test_pruned_scan_is_file_pruned(spark, tmp_path):
+    """Plan + footer evidence (SURVEY §2.4 / R-tree parity gpkg.jl:411-448):
+    on a Z-order-clustered layout, the pruned kNN's range conjunct reaches
+    the parquet scan as PushedFilters, and only a small subset of files'
+    (lon_i, lat_i) footer ranges overlap the query rectangles."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from geoio_jl_spark.operators.knn import _query_rects, cell_count_stats
+    from geoio_jl_spark.operators.zorder import write_spatially_clustered
+
+    pts = _points(spark, n=200_000)
+    path = str(tmp_path / "clustered_pts")
+    write_spatially_clustered(pts, path, "lon_i", "lat_i", n_files=16)
+    stored = spark.read.parquet(path)
+    qs = spark.createDataFrame(pd.DataFrame(
+        {"query_id": [0], "qx": [5000], "qy": [5000]}))  # one local probe
+    out = KNN.knn_join_pruned(stored, qs, k=5)
+    # 1) exact rows vs the full-scan plan
+    ref = KNN.knn_join_window(stored, qs, k=5).collect()
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref))
+    # 2) the range conjunct is pushed into the scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    # (the plan string truncates long filter lists; lon bounds suffice)
+    assert "GreaterThanOrEqual(lon_i" in plan and "LessThanOrEqual(lon_i" in plan
+    # 3) footer stats: few files overlap the rectangle on the clustered
+    # layout (the scan skips the rest)
+    stats = {(r["cx"], r["cy"]): r["n"]
+             for r in cell_count_stats(stored, 3).collect()}
+    rect = _query_rects([(0, 5000, 5000)], stats, 5, 400)[0]
+    x_lo, x_hi, y_lo, y_hi = rect[3], rect[4], rect[5], rect[6]
+    overlapping = 0
+    files = glob.glob(path + "/*.parquet")
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(c).name: c for c in range(len(md.schema))}
+        fx_lo = min(md.row_group(g).column(names["lon_i"]).statistics.min
+                    for g in range(md.num_row_groups))
+        fx_hi = max(md.row_group(g).column(names["lon_i"]).statistics.max
+                    for g in range(md.num_row_groups))
+        fy_lo = min(md.row_group(g).column(names["lat_i"]).statistics.min
+                    for g in range(md.num_row_groups))
+        fy_hi = max(md.row_group(g).column(names["lat_i"]).statistics.max
+                    for g in range(md.num_row_groups))
+        if fx_lo <= x_hi and fx_hi >= x_lo and fy_lo <= y_hi and fy_hi >= y_lo:
+            overlapping += 1
+    assert len(files) >= 12
+    assert overlapping <= max(2, len(files) // 4), (overlapping, len(files))
