@@ -1,0 +1,104 @@
+"""Distributed connected components over dedup edge lists.
+
+The keep/drop decision after LSH dedup needs *components*, not edges:
+bucket chains (doc A shares a band-bucket with B, B with C) must collapse
+into one cluster with one keeper.  This is the alternating
+large-star / small-star algorithm (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14) — converges in O(log n) rounds, and
+every round is a plain groupBy-min + equi-join, so a 10M-node template
+cluster costs the same as 10M independent rows: there is no
+``collect_list`` anywhere, giant stars stay distributed, and Catalyst
+plans each round with map-side partial aggregation.
+
+Reference anchor: GeoIO.jl has no graph operator (its dedup story ends at
+the R-tree / unique-vertex level, src/extra/gpkg.jl:411-448); this is an
+engine addition mandated by the training-data-pipeline brief
+(SURVEY.md §2.7 — MinHash-LSH dedup needs component contraction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: attach all neighbors v > u to m = min(N(u) ∪ u).
+    Input symmetric; output directed (larger → smaller)."""
+    m = (e.groupBy("u").agg(F.min("v").alias("mv"))
+         .select("u", F.least("mv", F.col("u")).alias("m")))
+    return (e.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """For each node u: attach u and all neighbors v < u to the minimum
+    of that set. Input symmetric; output directed (larger → smaller)."""
+    d = e.filter(F.col("v") < F.col("u"))
+    m = d.groupBy("u").agg(F.min("v").alias("m"))  # m < u by construction
+    out1 = (d.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v")))
+    out2 = m.select("u", F.col("m").alias("v"))
+    return out1.union(out2).distinct()
+
+
+def connected_components(edges: DataFrame, src: str = "rep",
+                         dst: str = "member",
+                         max_iter: int = 50) -> DataFrame:
+    """→ (node, component) for every node in ``edges``; component is the
+    minimum node id of its connected component (so over
+    ``minhash_star_edges`` output the component id IS the keeper doc).
+
+    Each round materializes via ``localCheckpoint`` (plan truncation —
+    iterative algorithms otherwise grow the logical plan exponentially)
+    and convergence is detected with one tiny aggregate per round
+    (count + order-insensitive hash of the edge multiset).
+    """
+    e = (edges.select(F.col(src).cast("bigint").alias("u"),
+                      F.col(dst).cast("bigint").alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct())
+    if not e.take(1):
+        return e.select(F.col("u").alias("node"),
+                        F.col("v").alias("component"))
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_symmetrize(_large_star(_symmetrize(e))))
+        e = e.localCheckpoint(eager=True)
+        row = e.agg(
+            F.count("*").alias("n"),
+            # xor: order-insensitive set hash, no ANSI int64 overflow
+            F.expr("bit_xor(xxhash64(u, v))").alias("h")).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components: no convergence in "
+                           f"{max_iter} rounds")
+    # fixpoint: e is (node → component-min) for every non-root node
+    roots = (e.select(F.col("v").alias("u"), F.col("v").alias("v"))
+             .distinct())
+    return (e.union(roots).distinct()
+            .select(F.col("u").alias("node"), F.col("v").alias("component")))
+
+
+def dedup_keepers(docs: DataFrame, components: DataFrame,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Append (component, keep) to the document table: keep=true for the
+    component minimum and for docs in no component (unique docs).
+    Components is tiny relative to docs (only near-dup members) →
+    broadcast left join, no shuffle of the doc table."""
+    comp = components.withColumnRenamed("node", id_col)
+    return (docs.join(F.broadcast(comp), id_col, "left")
+            .withColumn("keep", F.col("component").isNull()
+                        | (F.col("component") == F.col(id_col))))

@@ -599,6 +599,36 @@ SELECT DISTINCT rep, member FROM star WHERE member != rep
 """
 
 
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: connected components (large-star/small-star,
+    operators/components.py) over the minhash star edges — the keep/drop
+    contraction every LSH dedup pipeline needs. component = min doc_id."""
+    from geoio_jl_spark.operators.components import connected_components
+    from geoio_jl_spark.operators.dedup import minhash_star_edges
+    docs = _read(spark, sf_dir, "documents")
+    return connected_components(minhash_star_edges(docs))
+
+
+def _sql_connected_components() -> str:
+    """Oracle: transitive closure by recursive reachability, component =
+    min reachable node (exponentially slower than star contraction but
+    exact at sf0.01)."""
+    return f"""
+WITH RECURSIVE star AS ({_sql_minhash_star_edges()}),
+sym AS (
+  SELECT rep AS u, member AS v FROM star
+  UNION
+  SELECT member AS u, rep AS v FROM star
+),
+reach(node, r) AS (
+  SELECT DISTINCT u, u FROM sym
+  UNION
+  SELECT reach.node, sym.v FROM reach JOIN sym ON sym.u = reach.r
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup: distinct-shingle inverted index →
     pairs sharing >= 2 shingles, with exact intersection / union sizes."""
@@ -1068,6 +1098,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "minhash_lsh": (q_minhash_lsh, _sql_minhash_lsh()),
         "minhash_star_edges": (q_minhash_star_edges,
                                _sql_minhash_star_edges()),
+        "connected_components": (q_connected_components,
+                                 _sql_connected_components()),
         "ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard()),
         "ngram_jaccard_capped": (q_ngram_jaccard_capped,
                                  _sql_ngram_jaccard_capped()),
