@@ -142,12 +142,21 @@ def stopword_hits(text: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda x: x.isin(*words) if len(words) > 1 else x == words[0]))
 
 
-def quality_columns(text: Column) -> dict[str, Column]:
+def quality_columns(text: Column,
+                    toks: Column | None = None) -> dict[str, Column]:
     """Length / punctuation / stopword-ratio quality features.
 
     All double arithmetic is identical-op between engines (single division
-    of two exact ints), so these stay oracle-checkable."""
-    toks = tokens_col(text)
+    of two exact ints), so these stay oracle-checkable.
+
+    Pass ``toks`` as a REAL column (projected in a prior select) to
+    guarantee the tokenizer runs once per row instead of once per
+    feature — Catalyst's CollapseProject keeps a non-cheap alias used
+    by several expressions as its own projection, so the two-step form
+    is the guaranteed-linear shape (same lesson as the shingle fix,
+    operators/dedup.py exploded_shingles)."""
+    if toks is None:
+        toks = tokens_col(text)
     n_tok = F.size(toks)
     n_char = F.length(text)
     n_punct = n_char - F.length(F.regexp_replace(text, r"[^\w\s]", ""))

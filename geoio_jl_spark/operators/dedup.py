@@ -7,11 +7,15 @@ arithmetic matches ``dialect`` so each has an exact DuckDB oracle (wired
 in queries.py):
 
 - exact_duplicates: md5(text) groups
-- minhash_lsh_pairs: shingle → md5-int → k universal-hash mins → banded
-  signatures → candidate pairs sharing a band
+- minhash_star_edges (PRIMARY dedup API): shingle → minhash → banded
+  buckets → per-bucket (min-id, member) star edges — linear output per
+  bucket; feed operators/components.connected_components for keep/drop
+- minhash_lsh_pairs (opt-in): full per-bucket pair sets — quadratic per
+  bucket; only when the downstream genuinely needs every pair
 - simhash_signatures: 32-bit simhash over token hashes
 - ngram_jaccard_pairs: distinct-shingle inverted index → pairs with exact
-  intersection/union counts
+  intersection/union counts; the stop-shingle DF cap is ON by default
+  (max_df=DEFAULT_MAX_DF, pass None to opt out into the unbounded join)
 """
 
 from __future__ import annotations
@@ -79,6 +83,10 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
+    """Full per-bucket candidate pair sets — OPT-IN. A bucket of n docs
+    emits n(n-1)/2 rows (a 10k-copy template page: 50M pairs); for
+    dedup keep/drop use ``minhash_star_edges`` (n-1 rows per bucket,
+    component-equivalent) + ``components.connected_components``."""
     sig = minhash_signatures(docs, text_col, id_col)
     nr = len(D.MINHASH_SEEDS) // D.MINHASH_BANDS
     band_arr = F.array(*[
@@ -149,16 +157,23 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
             .select(id_col, F.expr(sig).alias("simhash")))
 
 
+DEFAULT_MAX_DF = 1000  # stop-shingle cap: bounds per-shingle pair fanout
+
+
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", min_inter: int = 2,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = DEFAULT_MAX_DF) -> DataFrame:
     """Inverted-index shingle self-join. ``max_df`` applies the standard
     stop-shingle rule: shingles appearing in more than max_df documents
     are dropped BEFORE the self-join (a shingle in n docs yields n² pair
-    rows — unbounded on skewed web text without the cap). The hot list
-    is tiny by construction, so it excludes via broadcast anti-join;
-    intersection AND union are computed over the capped shingle sets, so
-    the result is the exact Jaccard of the filtered feature space."""
+    rows — unbounded on skewed web text without the cap). The cap is ON
+    by default (DEFAULT_MAX_DF); pass ``max_df=None`` to opt into the
+    unbounded exact join (only safe on bounded corpora — at web scale a
+    single boilerplate shingle in 10⁶ docs would emit 10¹² pairs). The
+    hot list is tiny by construction, so it excludes via broadcast
+    anti-join; intersection AND union are computed over the capped
+    shingle sets, so the result is the exact Jaccard of the filtered
+    feature space."""
     sh = exploded_shingles(docs, text_col, id_col).distinct()
     if max_df is not None:
         hot = (sh.groupBy("sh").agg(F.count("*").alias("df"))

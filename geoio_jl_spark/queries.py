@@ -419,10 +419,15 @@ def _sql_langid_confusion() -> str:
 
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from geoio_jl_spark.functions.textkernels import quality_columns
+    from geoio_jl_spark.functions.textkernels import (quality_columns,
+                                                      tokens_col)
     docs = _read(spark, sf_dir, "documents")
-    cols = quality_columns(F.col("text"))
-    return docs.select(
+    # materialize the token array once (projection), then derive the 4
+    # token-based features from the column — tokenizer runs 1× per row
+    toked = docs.select("doc_id", "text",
+                        tokens_col(F.col("text")).alias("_toks"))
+    cols = quality_columns(F.col("text"), toks=F.col("_toks"))
+    return toked.select(
         "doc_id", *(c.alias(n) for n, c in cols.items())
     )
 

@@ -84,7 +84,7 @@ def test_ngram_jaccard_df_cap_bounds_hot_shingles(spark):
     rows.append((n, "alpha beta gamma delta epsilon zeta eta theta"))
     rows.append((n + 1, "alpha beta gamma delta epsilon zeta eta iota"))
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
-    uncapped = DD.ngram_jaccard_pairs(docs, min_inter=1).count()
+    uncapped = DD.ngram_jaccard_pairs(docs, min_inter=1, max_df=None).count()
     capped = DD.ngram_jaccard_pairs(docs, min_inter=1, max_df=10)
     rows_c = capped.collect()
     assert uncapped >= n * (n - 1) / 2  # quadratic blow-up present
@@ -115,3 +115,12 @@ def test_minhash_star_edges_linear_output(spark, corpus):
                            for r in set(c.values()))
     assert grp(ce) == grp(cp)
     assert len(edges) <= len(pairs)
+
+
+def test_ngram_jaccard_cap_is_default(spark):
+    """Round-3 default flip: a shingle hotter than DEFAULT_MAX_DF is
+    dropped without asking; max_df=None opts back into unbounded."""
+    import inspect
+    sig = inspect.signature(DD.ngram_jaccard_pairs)
+    assert sig.parameters["max_df"].default == DD.DEFAULT_MAX_DF
+    assert DD.DEFAULT_MAX_DF is not None
