@@ -38,33 +38,60 @@ KNOWN_CRS = {
 }
 
 
-def crs_info(crs: str) -> dict:
-    """EPSG-style code → descriptor (F9). Resolution order: the static
-    registry, UTM code patterns, then the WKT2 corpus (30 codes whose
-    PROJJSON is schema-validated in tests); unknown codes fall back to a
-    plain Cartesian tag (the reference's fallback, gi.jl:63-68)."""
-    hit = KNOWN_CRS.get(crs)
-    if hit is not None:
-        return hit
-    utm = _parse_utm(crs)
-    if utm is not None:
-        return {"kind": "projected", "axis": "xy", "unit": "m",
-                "projection": "utm", "zone": utm[0], "south": utm[1]}
-    if crs.upper().startswith("EPSG:"):
-        try:
-            code = int(crs.split(":")[1])
-        except ValueError:
-            code = None
-        if code is not None:
+def _doc_for(crs) -> "dict | None":
+    """Any CRS input → PROJJSON document, or None when unresolvable.
+    Accepts authority codes (corpus lookup), WKT2, ESRI/OGC WKT1 and
+    PROJJSON text/dicts (F9 breadth — gi.jl:63-68 reaches all of PROJ;
+    here every input normalizes through the from-scratch parsers)."""
+    import re as _re
+
+    from geoio_jl_spark.functions.crs_input import projjson_from_any
+    if isinstance(crs, dict):
+        return crs
+    if not isinstance(crs, str):
+        return None
+    s = crs.strip()
+    if _re.match(r"^[A-Za-z]+:[0-9]+$", s):
+        auth, code = s.split(":")
+        if auth.upper() in ("EPSG", "OGC"):
             from geoio_jl_spark.functions.wkt2_corpus import projjson_for
-            doc = projjson_for(code)
-            if doc is not None:
-                if doc["type"] in ("GeographicCRS", "GeodeticCRS"):
-                    return {"kind": "geographic", "axis": "latlon",
-                            "unit": "degree", "name": doc["name"]}
-                method = doc["conversion"]["method"]["name"]
-                return {"kind": "projected", "axis": "xy", "unit": "m",
-                        "projection": method, "name": doc["name"]}
+            try:
+                return projjson_for(int(code))
+            except ValueError:
+                return None
+        return None
+    try:
+        return projjson_from_any(s)
+    except Exception:
+        return None
+
+
+def crs_info(crs) -> dict:
+    """CRS input → descriptor (F9). Resolution order: the static
+    registry, UTM code patterns, the WKT2 corpus (schema-validated
+    PROJJSON), then arbitrary WKT1/WKT2/PROJJSON input; unknown codes
+    fall back to a plain Cartesian tag (the reference's fallback,
+    gi.jl:63-68)."""
+    if isinstance(crs, str):
+        hit = KNOWN_CRS.get(crs)
+        if hit is not None:
+            return hit
+        utm = _parse_utm(crs)
+        if utm is not None:
+            return {"kind": "projected", "axis": "xy", "unit": "m",
+                    "projection": "utm", "zone": utm[0], "south": utm[1]}
+    doc = _doc_for(crs)
+    if doc is not None:
+        if doc["type"] in ("GeographicCRS", "GeodeticCRS"):
+            kind = ("geocentric"
+                    if doc.get("coordinate_system", {}).get("subtype")
+                    == "Cartesian" else "geographic")
+            return {"kind": kind, "axis": "latlon", "unit": "degree",
+                    "name": doc["name"]}
+        if doc["type"] == "ProjectedCRS":
+            method = doc["conversion"]["method"]["name"]
+            return {"kind": "projected", "axis": "xy", "unit": "m",
+                    "projection": method, "name": doc["name"]}
     return {"kind": "cartesian", "axis": "xy", "unit": "m"}
 
 
@@ -93,73 +120,113 @@ _TRANSFORMS = {
 }
 
 # ---------------------------------------------------------------------------
-# Transverse Mercator (UTM) — Krüger series on the WGS84 ellipsoid
-# (the reference's Projected/UTM family, resolved via PROJ there; here a
-# from-scratch 3rd-order-in-n series, sub-mm over a UTM zone)
+# Transverse Mercator — Krüger series, generalized to any ellipsoid and
+# any natural origin (the reference's Projected/TM family — UTM, OSGB,
+# Irish/NZ/Polish grids — resolved via PROJ there; here a from-scratch
+# 3rd-order-in-n series, sub-mm over a 6° zone)
 # ---------------------------------------------------------------------------
 
 _F = 1.0 / 298.257223563
 _E2 = _F * (2.0 - _F)
 _E = np.sqrt(_E2)
-_N = _F / (2.0 - _F)
-_A_BAR = R_WGS84 / (1.0 + _N) * (1.0 + _N ** 2 / 4.0 + _N ** 4 / 64.0)
-_K0 = 0.9996
-_ALPHA = [
-    _N / 2.0 - 2.0 * _N ** 2 / 3.0 + 5.0 * _N ** 3 / 16.0,
-    13.0 * _N ** 2 / 48.0 - 3.0 * _N ** 3 / 5.0,
-    61.0 * _N ** 3 / 240.0,
-]
-_BETA = [
-    _N / 2.0 - 2.0 * _N ** 2 / 3.0 + 37.0 * _N ** 3 / 96.0,
-    _N ** 2 / 48.0 + _N ** 3 / 15.0,
-    17.0 * _N ** 3 / 480.0,
-]
-_DELTA = [
-    2.0 * _N - 2.0 * _N ** 2 / 3.0 - 2.0 * _N ** 3,
-    7.0 * _N ** 2 / 3.0 - 8.0 * _N ** 3 / 5.0,
-    56.0 * _N ** 3 / 15.0,
-]
+
+
+class Ellipsoid:
+    """Derived Krüger/Snyder constants for one (a, 1/f) pair."""
+
+    _cache: dict = {}
+
+    def __new__(cls, a: float, invf: float):
+        key = (a, invf)
+        hit = cls._cache.get(key)
+        if hit is not None:
+            return hit
+        self = super().__new__(cls)
+        self.a = a
+        self.f = 1.0 / invf if invf else 0.0
+        self.e2 = self.f * (2.0 - self.f)
+        self.e = float(np.sqrt(self.e2))
+        n = self.f / (2.0 - self.f)
+        self.n = n
+        self.a_bar = a / (1.0 + n) * (1.0 + n ** 2 / 4.0 + n ** 4 / 64.0)
+        self.alpha = [
+            n / 2.0 - 2.0 * n ** 2 / 3.0 + 5.0 * n ** 3 / 16.0,
+            13.0 * n ** 2 / 48.0 - 3.0 * n ** 3 / 5.0,
+            61.0 * n ** 3 / 240.0,
+        ]
+        self.beta = [
+            n / 2.0 - 2.0 * n ** 2 / 3.0 + 37.0 * n ** 3 / 96.0,
+            n ** 2 / 48.0 + n ** 3 / 15.0,
+            17.0 * n ** 3 / 480.0,
+        ]
+        self.delta = [
+            2.0 * n - 2.0 * n ** 2 / 3.0 - 2.0 * n ** 3,
+            7.0 * n ** 2 / 3.0 - 8.0 * n ** 3 / 5.0,
+            56.0 * n ** 3 / 15.0,
+        ]
+        cls._cache[key] = self
+        return self
+
+
+WGS84 = Ellipsoid(R_WGS84, 298.257223563)
+
+
+def _tm_xi_eta(ell: Ellipsoid, lam, phi):
+    s = np.sin(phi)
+    t = np.sinh(np.arctanh(s) - ell.e * np.arctanh(ell.e * s))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+    xi, eta = xi_p.copy(), eta_p.copy()
+    for j, a in enumerate(ell.alpha, start=1):
+        xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    return xi, eta
+
+
+def tm_projection(lat0: float, lon0: float, k0: float, fe: float,
+                  fn: float, ell: Ellipsoid = WGS84):
+    """General Transverse Mercator (EPSG method 9807) fwd+inv factory.
+    lat0 != 0 (OSGB, Irish grids) handled via the meridian arc to the
+    natural origin on the same series (exact inverse by construction)."""
+    lam0 = np.radians(lon0)
+    if lat0 != 0.0:
+        xi0, _ = _tm_xi_eta(ell, np.zeros(1), np.radians(np.full(1, lat0)))
+        m0 = float(k0 * ell.a_bar * xi0[0])
+    else:
+        m0 = 0.0
+
+    def fwd(lon: np.ndarray, lat: np.ndarray):
+        lam = np.radians(np.asarray(lon, float)) - lam0
+        phi = np.radians(np.asarray(lat, float))
+        xi, eta = _tm_xi_eta(ell, lam, phi)
+        return (fe + k0 * ell.a_bar * eta,
+                fn + k0 * ell.a_bar * xi - m0)
+
+    def inv(E: np.ndarray, Nn: np.ndarray):
+        xi = (np.asarray(Nn, float) - fn + m0) / (k0 * ell.a_bar)
+        eta = (np.asarray(E, float) - fe) / (k0 * ell.a_bar)
+        xi_p, eta_p = xi.copy(), eta.copy()
+        for j, b in enumerate(ell.beta, start=1):
+            xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        chi = np.arcsin(np.clip(np.sin(xi_p) / np.cosh(eta_p), -1, 1))
+        phi = chi.copy()
+        for j, d in enumerate(ell.delta, start=1):
+            phi += d * np.sin(2 * j * chi)
+        lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+        return np.degrees(lam + lam0), np.degrees(phi)
+
+    return fwd, inv
 
 
 def _lonlat_to_utm(zone: int, south: bool):
-    lon0 = np.radians(zone * 6.0 - 183.0)
-
-    def fwd(lon: np.ndarray, lat: np.ndarray):
-        lam = np.radians(np.asarray(lon, float)) - lon0
-        phi = np.radians(np.asarray(lat, float))
-        s = np.sin(phi)
-        t = np.sinh(np.arctanh(s) - _E * np.arctanh(_E * s))
-        xi_p = np.arctan2(t, np.cos(lam))
-        eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
-        xi, eta = xi_p.copy(), eta_p.copy()
-        for j, a in enumerate(_ALPHA, start=1):
-            xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
-            eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
-        E = 500000.0 + _K0 * _A_BAR * eta
-        Nn = _K0 * _A_BAR * xi + (10000000.0 if south else 0.0)
-        return E, Nn
-
-    return fwd
+    return tm_projection(0.0, zone * 6.0 - 183.0, 0.9996, 500000.0,
+                         10000000.0 if south else 0.0)[0]
 
 
 def _utm_to_lonlat(zone: int, south: bool):
-    lon0 = np.radians(zone * 6.0 - 183.0)
-
-    def inv(E: np.ndarray, Nn: np.ndarray):
-        xi = (np.asarray(Nn, float) - (10000000.0 if south else 0.0)) / (_K0 * _A_BAR)
-        eta = (np.asarray(E, float) - 500000.0) / (_K0 * _A_BAR)
-        xi_p, eta_p = xi.copy(), eta.copy()
-        for j, b in enumerate(_BETA, start=1):
-            xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
-            eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
-        chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
-        phi = chi.copy()
-        for j, d in enumerate(_DELTA, start=1):
-            phi += d * np.sin(2 * j * chi)
-        lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
-        return np.degrees(lam + lon0), np.degrees(phi)
-
-    return inv
+    return tm_projection(0.0, zone * 6.0 - 183.0, 0.9996, 500000.0,
+                         10000000.0 if south else 0.0)[1]
 
 
 # ---------------------------------------------------------------------------
@@ -170,58 +237,76 @@ def _utm_to_lonlat(zone: int, south: bool):
 # reference resolves these through PROJ.
 # ---------------------------------------------------------------------------
 
-def _merc_fwd(lon, lat):
-    phi = np.radians(np.clip(np.asarray(lat, float), -89.9999, 89.9999))
-    es = _E * np.sin(phi)
-    x = R_WGS84 * np.radians(np.asarray(lon, float))
-    y = R_WGS84 * np.log(np.tan(np.pi / 4 + phi / 2)
-                         * ((1 - es) / (1 + es)) ** (_E / 2))
-    return x, y
+def mercator_projection(lon0: float = 0.0, k0: float = 1.0,
+                        fe: float = 0.0, fn: float = 0.0,
+                        ell: Ellipsoid = WGS84):
+    """Ellipsoidal Mercator, EPSG 9804 (variant A; variant B reduces to
+    k0 = m(lat_ts)/m(0) computed by the caller). e.g. EPSG:3395."""
+    lam0 = np.radians(lon0)
+
+    def fwd(lon, lat):
+        phi = np.radians(np.clip(np.asarray(lat, float), -89.9999, 89.9999))
+        es = ell.e * np.sin(phi)
+        x = fe + k0 * ell.a * (np.radians(np.asarray(lon, float)) - lam0)
+        y = fn + k0 * ell.a * np.log(np.tan(np.pi / 4 + phi / 2)
+                                     * ((1 - es) / (1 + es)) ** (ell.e / 2))
+        return x, y
+
+    def inv(x, y):
+        lon = np.degrees(lam0 + (np.asarray(x, float) - fe) / (k0 * ell.a))
+        t = np.exp(-(np.asarray(y, float) - fn) / (k0 * ell.a))
+        phi = np.pi / 2 - 2 * np.arctan(t)
+        for _ in range(6):
+            es = ell.e * np.sin(phi)
+            phi = np.pi / 2 - 2 * np.arctan(
+                t * ((1 - es) / (1 + es)) ** (ell.e / 2))
+        return lon, np.degrees(phi)
+
+    return fwd, inv
 
 
-def _merc_inv(x, y):
-    lon = np.degrees(np.asarray(x, float) / R_WGS84)
-    t = np.exp(-np.asarray(y, float) / R_WGS84)
-    phi = np.pi / 2 - 2 * np.arctan(t)
-    for _ in range(6):
-        es = _E * np.sin(phi)
-        phi = np.pi / 2 - 2 * np.arctan(t * ((1 - es) / (1 + es)) ** (_E / 2))
-    return lon, np.degrees(phi)
+_merc_fwd, _merc_inv = mercator_projection()
 
 
-def _q_auth(phi):
+def _q_auth(phi, ell: Ellipsoid = WGS84):
     s = np.sin(phi)
-    return (1 - _E2) * (s / (1 - _E2 * s * s)
-                        - np.log((1 - _E * s) / (1 + _E * s)) / (2 * _E))
+    return (1 - ell.e2) * (s / (1 - ell.e2 * s * s)
+                           - np.log((1 - ell.e * s) / (1 + ell.e * s))
+                           / (2 * ell.e))
 
 
-_QP = float(_q_auth(np.pi / 2))
-# authalic → geodetic latitude series (Snyder 3-18)
-_AUTH = (_E2 / 3 + 31 * _E2 ** 2 / 180 + 517 * _E2 ** 3 / 5040,
-         23 * _E2 ** 2 / 360 + 251 * _E2 ** 3 / 3780,
-         761 * _E2 ** 3 / 45360)
+def _auth_series(ell: Ellipsoid):
+    e2 = ell.e2
+    return (e2 / 3 + 31 * e2 ** 2 / 180 + 517 * e2 ** 3 / 5040,
+            23 * e2 ** 2 / 360 + 251 * e2 ** 3 / 3780,
+            761 * e2 ** 3 / 45360)
 
 
-def _beta_to_phi(beta):
-    return (beta + _AUTH[0] * np.sin(2 * beta)
-            + _AUTH[1] * np.sin(4 * beta) + _AUTH[2] * np.sin(6 * beta))
+def _beta_to_phi(beta, ell: Ellipsoid = WGS84):
+    c1, c2, c3 = _auth_series(ell)
+    return (beta + c1 * np.sin(2 * beta)
+            + c2 * np.sin(4 * beta) + c3 * np.sin(6 * beta))
 
 
-def _m_fn(phi):
-    return np.cos(phi) / np.sqrt(1 - _E2 * np.sin(phi) ** 2)
+def _m_fn(phi, ell: Ellipsoid = WGS84):
+    return np.cos(phi) / np.sqrt(1 - ell.e2 * np.sin(phi) ** 2)
 
 
-def _laea(lat0: float, lon0: float, fe: float, fn: float):
+def _laea(lat0: float, lon0: float, fe: float, fn: float,
+          ell: Ellipsoid = WGS84):
     """Ellipsoidal oblique LAEA (Snyder 24-2..24-14), e.g. EPSG:3035."""
+    _QP = float(_q_auth(np.pi / 2, ell))
+    R_WGS84 = ell.a  # names kept for the formulas below
     phi0 = np.radians(lat0)
     lam0 = np.radians(lon0)
-    beta0 = np.arcsin(_q_auth(phi0) / _QP)
+    beta0 = np.arcsin(_q_auth(phi0, ell) / _QP)
     rq = R_WGS84 * np.sqrt(_QP / 2)
-    d = R_WGS84 * _m_fn(phi0) / (rq * np.cos(beta0))
+    d = R_WGS84 * _m_fn(phi0, ell) / (rq * np.cos(beta0))
 
     def fwd(lon, lat):
         lam = np.radians(np.asarray(lon, float)) - lam0
-        beta = np.arcsin(_q_auth(np.radians(np.asarray(lat, float))) / _QP)
+        beta = np.arcsin(_q_auth(np.radians(np.asarray(lat, float)), ell)
+                         / _QP)
         b = rq * np.sqrt(2 / (1 + np.sin(beta0) * np.sin(beta)
                               + np.cos(beta0) * np.cos(beta) * np.cos(lam)))
         x = fe + b * d * np.cos(beta) * np.sin(lam)
@@ -243,26 +328,29 @@ def _laea(lat0: float, lon0: float, fe: float, fn: float):
                 xx * np.sin(ce),
                 rho * np.cos(beta0) * np.cos(ce)
                 - yy * np.sin(beta0) * np.sin(ce))
-        return (np.degrees(lam0 + lam), np.degrees(_beta_to_phi(beta)))
+        return (np.degrees(lam0 + lam),
+                np.degrees(_beta_to_phi(beta, ell)))
 
     return fwd, inv
 
 
 def _albers(lat1: float, lat2: float, lat0: float, lon0: float,
-            fe: float, fn: float):
+            fe: float, fn: float, ell: Ellipsoid = WGS84):
     """Ellipsoidal Albers equal-area conic (Snyder 14-1..14-11),
     e.g. EPSG:5070 Conus Albers."""
+    _QP = float(_q_auth(np.pi / 2, ell))
+    a = ell.a
     p1, p2, p0 = (np.radians(v) for v in (lat1, lat2, lat0))
     lam0 = np.radians(lon0)
-    m1, m2 = _m_fn(p1), _m_fn(p2)
-    q0, q1, q2 = _q_auth(p0), _q_auth(p1), _q_auth(p2)
+    m1, m2 = _m_fn(p1, ell), _m_fn(p2, ell)
+    q0, q1, q2 = _q_auth(p0, ell), _q_auth(p1, ell), _q_auth(p2, ell)
     n = (m1 * m1 - m2 * m2) / (q2 - q1)
     c = m1 * m1 + n * q1
-    rho0 = R_WGS84 * np.sqrt(c - n * q0) / n
+    rho0 = a * np.sqrt(c - n * q0) / n
 
     def fwd(lon, lat):
-        q = _q_auth(np.radians(np.asarray(lat, float)))
-        rho = R_WGS84 * np.sqrt(c - n * q) / n
+        q = _q_auth(np.radians(np.asarray(lat, float)), ell)
+        rho = a * np.sqrt(c - n * q) / n
         theta = n * (np.radians(np.asarray(lon, float)) - lam0)
         return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
 
@@ -271,10 +359,184 @@ def _albers(lat1: float, lat2: float, lat0: float, lon0: float,
         yy = rho0 - (np.asarray(y, float) - fn)
         rho = np.sqrt(xx * xx + yy * yy)
         theta = np.arctan2(np.sign(n) * xx, np.sign(n) * yy)
-        q = (c - (rho * n / R_WGS84) ** 2) / n
+        q = (c - (rho * n / a) ** 2) / n
         beta = np.arcsin(np.clip(q / _QP, -1, 1))
         return (np.degrees(lam0 + theta / n),
-                np.degrees(_beta_to_phi(beta)))
+                np.degrees(_beta_to_phi(beta, ell)))
+
+    return fwd, inv
+
+
+def lcc_projection(lat1: float, lat2: float, lat0: float, lon0: float,
+                   fe: float, fn: float, ell: Ellipsoid = WGS84):
+    """Lambert Conformal Conic 2SP (EPSG 9802; Snyder 15-1..15-11).
+    1SP (9801) reduces to lat1 = lat2 = lat0 with k0 folded by the
+    caller into the parallels."""
+    a, e = ell.a, ell.e
+    p1, p2, p0 = (np.radians(v) for v in (lat1, lat2, lat0))
+    lam0 = np.radians(lon0)
+
+    def _t(phi):
+        es = e * np.sin(phi)
+        return (np.tan(np.pi / 4 - phi / 2)
+                / ((1 - es) / (1 + es)) ** (e / 2))
+
+    m1, m2 = _m_fn(p1, ell), _m_fn(p2, ell)
+    t0, t1, t2 = _t(p0), _t(p1), _t(p2)
+    if abs(lat1 - lat2) < 1e-12:
+        n = np.sin(p1)
+    else:
+        n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+    big_f = m1 / (n * t1 ** n)
+    rho0 = a * big_f * t0 ** n
+
+    def fwd(lon, lat):
+        phi = np.radians(np.clip(np.asarray(lat, float), -89.9999, 89.9999))
+        rho = a * big_f * _t(phi) ** n
+        theta = n * (np.radians(np.asarray(lon, float)) - lam0)
+        return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+
+    def inv(x, y):
+        xx = np.asarray(x, float) - fe
+        yy = rho0 - (np.asarray(y, float) - fn)
+        rho = np.sign(n) * np.sqrt(xx * xx + yy * yy)
+        theta = np.arctan2(np.sign(n) * xx, np.sign(n) * yy)
+        t = (rho / (a * big_f)) ** (1 / n)
+        phi = np.pi / 2 - 2 * np.arctan(t)
+        for _ in range(8):
+            es = e * np.sin(phi)
+            phi = np.pi / 2 - 2 * np.arctan(
+                t * ((1 - es) / (1 + es)) ** (e / 2))
+        return np.degrees(lam0 + theta / n), np.degrees(phi)
+
+    return fwd, inv
+
+
+def polar_stereographic(variant: str, lat0_or_ts: float, lon0: float,
+                        k0: float, fe: float, fn: float,
+                        ell: Ellipsoid = WGS84):
+    """Polar Stereographic variant A (EPSG 9810: natural origin at the
+    pole, scale k0) and variant B (EPSG 9829: standard parallel).
+    Snyder 21-33..21-41 / 22-x."""
+    a, e = ell.a, ell.e
+    south = lat0_or_ts < 0
+    sgn = -1.0 if south else 1.0
+    lam0 = np.radians(lon0)
+
+    def _t(phi):
+        es = e * np.sin(phi)
+        return (np.tan(np.pi / 4 - phi / 2)
+                / ((1 - es) / (1 + es)) ** (e / 2))
+
+    if variant == "A":
+        kk = k0 * 2 * a / np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+    else:  # variant B: scale from the standard parallel
+        phi_f = np.radians(abs(lat0_or_ts))
+        kk = a * _m_fn(phi_f, ell) / _t(phi_f)
+
+    def fwd(lon, lat):
+        phi = sgn * np.radians(np.asarray(lat, float))
+        lam = sgn * (np.radians(np.asarray(lon, float)) - lam0)
+        rho = kk * _t(phi)
+        return fe + rho * np.sin(lam), fn - sgn * rho * np.cos(lam)
+
+    def inv(x, y):
+        xx = np.asarray(x, float) - fe
+        yy = sgn * (fn - np.asarray(y, float))
+        rho = np.sqrt(xx * xx + yy * yy)
+        t = rho / kk
+        phi = np.pi / 2 - 2 * np.arctan(t)
+        for _ in range(8):
+            es = e * np.sin(phi)
+            phi = np.pi / 2 - 2 * np.arctan(
+                t * ((1 - es) / (1 + es)) ** (e / 2))
+        lam = np.arctan2(xx, yy)
+        return np.degrees(sgn * lam + lam0), np.degrees(sgn * phi)
+
+    return fwd, inv
+
+
+# ---------------------------------------------------------------------------
+# Robinson (ESRI:54030) — pseudocylindrical over Robinson's published
+# 5°-interval coefficient table (Snyder, "An Album of Map Projections"),
+# interpolated with a natural cubic spline built here (no scipy), sphere
+# of radius a.  Inverse: closed form in X once the spline for Y is
+# inverted with Newton (monotone in |lat|).
+# ---------------------------------------------------------------------------
+
+_ROBINSON_LATS = np.arange(0.0, 95.0, 5.0)
+_ROBINSON_X = np.array([
+    1.0000, 0.9986, 0.9954, 0.9900, 0.9822, 0.9730, 0.9600, 0.9427,
+    0.9216, 0.8962, 0.8679, 0.8350, 0.7986, 0.7597, 0.7186, 0.6732,
+    0.6213, 0.5722, 0.5322])
+_ROBINSON_Y = np.array([
+    0.0000, 0.0620, 0.1240, 0.1860, 0.2480, 0.3100, 0.3720, 0.4340,
+    0.4958, 0.5571, 0.6176, 0.6769, 0.7346, 0.7903, 0.8435, 0.8936,
+    0.9394, 0.9761, 1.0000])
+
+
+def _nat_cubic(xs: np.ndarray, ys: np.ndarray):
+    """Natural cubic spline: returns (eval, derivative) callables."""
+    n = len(xs) - 1
+    h = np.diff(xs)
+    rhs = np.zeros(n + 1)
+    rhs[1:n] = 3 * (np.diff(ys[1:]) / h[1:] - np.diff(ys[:-1]) / h[:-1])
+    mat = np.zeros((n + 1, n + 1))
+    mat[0, 0] = mat[n, n] = 1.0
+    for i in range(1, n):
+        mat[i, i - 1] = h[i - 1]
+        mat[i, i] = 2 * (h[i - 1] + h[i])
+        mat[i, i + 1] = h[i]
+    c = np.linalg.solve(mat, rhs)
+    b = np.diff(ys) / h - h * (2 * c[:-1] + c[1:]) / 3
+    d = np.diff(c) / (3 * h)
+
+    def ev(x):
+        x = np.asarray(x, float)
+        i = np.clip(np.searchsorted(xs, x, "right") - 1, 0, n - 1)
+        dx = x - xs[i]
+        return ys[i] + b[i] * dx + c[i] * dx ** 2 + d[i] * dx ** 3
+
+    def dv(x):
+        x = np.asarray(x, float)
+        i = np.clip(np.searchsorted(xs, x, "right") - 1, 0, n - 1)
+        dx = x - xs[i]
+        return b[i] + 2 * c[i] * dx + 3 * d[i] * dx ** 2
+
+    return ev, dv
+
+
+_ROB_X_EV, _ROB_X_DV = _nat_cubic(_ROBINSON_LATS, _ROBINSON_X)
+_ROB_Y_EV, _ROB_Y_DV = _nat_cubic(_ROBINSON_LATS, _ROBINSON_Y)
+
+
+def robinson_projection(lon0: float = 0.0, fe: float = 0.0, fn: float = 0.0,
+                        a: float = R_WGS84):
+    lam0 = np.radians(lon0)
+
+    def fwd(lon, lat):
+        la = np.abs(np.clip(np.asarray(lat, float), -90, 90))
+        sgn = np.sign(np.asarray(lat, float) + 0.0)
+        sgn = np.where(sgn == 0, 1.0, sgn)
+        X = _ROB_X_EV(la)
+        Y = _ROB_Y_EV(la)
+        x = fe + 0.8487 * a * X * (np.radians(np.asarray(lon, float)) - lam0)
+        y = fn + 1.3523 * a * Y * sgn
+        return x, y
+
+    def inv(x, y):
+        yy = (np.asarray(y, float) - fn) / (1.3523 * a)
+        sgn = np.where(yy < 0, -1.0, 1.0)
+        target = np.abs(yy)
+        la = np.clip(target * 90.0, 0.0, 90.0)  # init: Y roughly linear
+        for _ in range(25):  # Newton on the Y spline (monotone)
+            f = _ROB_Y_EV(la) - target
+            df = _ROB_Y_DV(la)
+            la = np.clip(la - f / df, 0.0, 90.0)
+        X = _ROB_X_EV(la)
+        lon = np.degrees(lam0 + (np.asarray(x, float) - fe)
+                         / (0.8487 * a * X))
+        return lon, sgn * la
 
     return fwd, inv
 
@@ -306,19 +568,60 @@ def _parse_utm(crs: str):
     return None
 
 
-def get_transform(src: str, dst: str):
+def _resolve_side(crs):
+    """→ ('geographic', None) or ('projected', (fwd, inv)) or None.
+    Dispatches arbitrary inputs (codes, WKT1/WKT2, PROJJSON) onto the
+    closed-form families via crs_input.transform_from_projjson."""
+    from geoio_jl_spark.functions.crs_input import (
+        is_geographic_doc, transform_from_projjson)
+    if isinstance(crs, str):
+        utm = _parse_utm(crs)
+        if utm is not None:
+            zone, south = utm
+            return ("projected", tm_projection(
+                0.0, zone * 6.0 - 183.0, 0.9996, 500000.0,
+                10000000.0 if south else 0.0))
+        if crs in ("ESRI:54030", "EPSG:54030"):  # World Robinson
+            return ("projected", robinson_projection())
+    doc = _doc_for(crs)
+    if doc is None:
+        return None
+    if is_geographic_doc(doc):
+        return ("geographic", None)
+    if doc.get("type") == "ProjectedCRS":
+        return ("projected", transform_from_projjson(doc))
+    return None
+
+
+def get_transform(src, dst):
+    """(src, dst) CRS inputs → vectorized (x, y) transform.
+
+    Fast paths first (registered pairs, UTM codes), then general
+    resolution: geographic→projected = forward, projected→geographic =
+    inverse, projected→projected = inverse ∘ forward.  Datum shifts are
+    identity (no PROJ grids in this environment; the reference reaches
+    them through PROJ, gi.jl:63-68)."""
     if src == dst:
         return lambda a, b: (a, b)
-    fn = _TRANSFORMS.get((src, dst))
-    if fn is not None:
-        return fn
-    geographic = ("EPSG:4326", "OGC:CRS84")
-    utm = _parse_utm(dst)
-    if src in geographic and utm is not None:
-        return _lonlat_to_utm(*utm)
-    utm = _parse_utm(src)
-    if utm is not None and dst in geographic:
-        return _utm_to_lonlat(*utm)
+    if isinstance(src, str) and isinstance(dst, str):
+        fn = _TRANSFORMS.get((src, dst))
+        if fn is not None:
+            return fn
+    rs, rd = _resolve_side(src), _resolve_side(dst)
+    if rs is not None and rd is not None:
+        if rs[0] == "geographic" and rd[0] == "geographic":
+            return lambda a, b: (a, b)
+        if rs[0] == "geographic":
+            return rd[1][0]
+        if rd[0] == "geographic":
+            return rs[1][1]
+        s_inv, d_fwd = rs[1][1], rd[1][0]
+
+        def chained(x, y):
+            lon, lat = s_inv(x, y)
+            return d_fwd(lon, lat)
+
+        return chained
     raise ValueError(f"no transform registered for {src} -> {dst}")
 
 

@@ -179,13 +179,17 @@ def _axis_json(cs_parent: WKTNode) -> dict:
         name, abbr = (m.group(1), m.group(2)) if m else (a.args[0], "")
         direction = next((x for x in a.args[1:] if isinstance(x, str)), "")
         au = a.child("ANGLEUNIT") or a.child("LENGTHUNIT")
-        axes.append({
+        ax = {
             "name": name.strip().capitalize() if name else abbr,
             "abbreviation": abbr,
             "direction": direction,
             "unit": _unit_json(au, "degree" if (au and au.keyword ==
                                                 "ANGLEUNIT") else "metre"),
-        })
+        }
+        mer = a.child("MERIDIAN")  # polar CRS axes (e.g. EPSG:2986):
+        if mer is not None:       # direction is along a named meridian
+            ax["meridian"] = {"longitude": mer.args[0]}
+        axes.append(ax)
     subtype = cs.args[0] if cs is not None else "ellipsoidal"
     return {"subtype": subtype, "axis": axes}
 

@@ -27,6 +27,8 @@ _ELLIPSOIDS = {
     "Clarke 1880 (IGN)": ("Clarke 1880 (IGN)", 6378249.2, 293.466021293627, 7011),
     "GRS 1967 Modified": ("GRS 1967 Modified", 6378160, 298.25, 7050),
     "International 1924": ("International 1924", 6378388, 297, 7022),
+    "Clarke 1858": ("Clarke 1858", 6378293.645208759, 294.26067636926103,
+                    7007),
 }
 
 
@@ -36,13 +38,45 @@ def _ellps(name: str) -> str:
 
 
 def _geog(name: str, datum: str, ellps: str, code: int,
-          datum_code: int) -> str:
+          datum_code: int | None, primem: str = "") -> str:
+    """datum_code=None omits the datum ID (modern realizations whose
+    datum codes are not confidently reproducible offline — the ID is
+    optional in both WKT2 and PROJJSON)."""
+    did = f',ID["EPSG",{datum_code}]' if datum_code else ""
     return (
         f'GEOGCRS["{name}",'
-        f'DATUM["{datum}",{_ellps(ellps)},ID["EPSG",{datum_code}]],'
+        f'DATUM["{datum}",{_ellps(ellps)}{did}],{primem}'
         f'CS[ellipsoidal,2],'
         f'AXIS["geodetic latitude (Lat)",north,{_DEG}],'
         f'AXIS["geodetic longitude (Lon)",east,{_DEG}],'
+        f'ID["EPSG",{code}]]'
+    )
+
+
+def _geog3d(name: str, datum: str, ellps: str, code: int,
+            datum_code: int | None) -> str:
+    did = f',ID["EPSG",{datum_code}]' if datum_code else ""
+    return (
+        f'GEOGCRS["{name}",'
+        f'DATUM["{datum}",{_ellps(ellps)}{did}],'
+        f'CS[ellipsoidal,3],'
+        f'AXIS["geodetic latitude (Lat)",north,{_DEG}],'
+        f'AXIS["geodetic longitude (Lon)",east,{_DEG}],'
+        f'AXIS["ellipsoidal height (h)",up,{_M}],'
+        f'ID["EPSG",{code}]]'
+    )
+
+
+def _geocentric(name: str, datum: str, ellps: str, code: int,
+                datum_code: int | None) -> str:
+    did = f',ID["EPSG",{datum_code}]' if datum_code else ""
+    return (
+        f'GEODCRS["{name}",'
+        f'DATUM["{datum}",{_ellps(ellps)}{did}],'
+        f'CS[Cartesian,3],'
+        f'AXIS["geocentric X (X)",geocentricX,{_M}],'
+        f'AXIS["geocentric Y (Y)",geocentricY,{_M}],'
+        f'AXIS["geocentric Z (Z)",geocentricZ,{_M}],'
         f'ID["EPSG",{code}]]'
     )
 
@@ -121,6 +155,62 @@ _GEOG_WKT = {
                 "GRS 1980", 4167, 6167),
     4300: _geog("TM75", "Geodetic Datum of 1965", "Airy Modified 1849",
                 4300, 6300),
+    # ---- round-3 corpus growth: the reference's remaining 2D
+    # geographic codes (test/crsstrings.jl:2-69). Classic (4xxx) datum
+    # ids follow the EPSG crs+2000 rule; modern realizations omit the
+    # optional datum id rather than risk a wrong fact. ----
+    4207: _geog("Lisbon", "Lisbon 1937", "International 1924", 4207, 6207),
+    4208: _geog("Aratu", "Aratu", "International 1924", 4208, 6208),
+    4231: _geog("ED87", "European Datum 1987", "International 1924",
+                4231, 6231),
+    4274: _geog("Datum 73", "Datum 73", "International 1924", 4274, 6274),
+    4659: _geog("ISN93", "Islands Net 1993", "GRS 1980", 4659, 6659),
+    4666: _geog("Lisbon 1890", "Lisbon 1890", "Bessel 1841", 4666, 6666),
+    4668: _geog("ED79", "European Datum 1979", "International 1924",
+                4668, 6668),
+    4745: _geog("RD/83", "Rauenberg Datum/83", "Bessel 1841", 4745, 6745),
+    4746: _geog("PD/83", "Potsdam Datum/83", "Bessel 1841", 4746, 6746),
+    5324: _geog("ISN2004", "Islands Net 2004", "GRS 1980", 5324, None),
+    5527: _geog("SAD69(96)", "South American Datum 1969(96)",
+                "GRS 1967 Modified", 5527, None),
+    8086: _geog("ISN2016", "Islands Net 2016", "GRS 1980", 8086, None),
+    8232: _geog("NAD83(CSRS96)",
+                "North American Datum of 1983 (CSRS96)", "GRS 1980",
+                8232, None),
+    8237: _geog("NAD83(CSRS)v2",
+                "North American Datum of 1983 (CSRS) version 2",
+                "GRS 1980", 8237, None),
+    8240: _geog("NAD83(CSRS)v3",
+                "North American Datum of 1983 (CSRS) version 3",
+                "GRS 1980", 8240, None),
+    8246: _geog("NAD83(CSRS)v4",
+                "North American Datum of 1983 (CSRS) version 4",
+                "GRS 1980", 8246, None),
+    8249: _geog("NAD83(CSRS)v5",
+                "North American Datum of 1983 (CSRS) version 5",
+                "GRS 1980", 8249, None),
+    8252: _geog("NAD83(CSRS)v6",
+                "North American Datum of 1983 (CSRS) version 6",
+                "GRS 1980", 8252, None),
+    8255: _geog("NAD83(CSRS)v7",
+                "North American Datum of 1983 (CSRS) version 7",
+                "GRS 1980", 8255, None),
+    9777: _geog("RGF93 v2", "Reseau Geodesique Francais 1993 v2",
+                "GRS 1980", 9777, None),
+    9782: _geog("RGF93 v2b", "Reseau Geodesique Francais 1993 v2b",
+                "GRS 1980", 9782, None),
+    4283: _geog("GDA94", "Geocentric Datum of Australia 1994",
+                "GRS 1980", 4283, 6283),
+    4805: _geog("MGI (Ferro)", "Militar-Geographische Institut (Ferro)",
+                "Bessel 1841", 4805, 6805,
+                primem='PRIMEM["Ferro",-17.66666666666667,'
+                       + _DEG + "],"),
+    # geocentric / 3D members of the reference list
+    4988: _geocentric("ISN93", "Islands Net 1993", "GRS 1980", 4988, 6659),
+    4989: _geog3d("ISN93", "Islands Net 1993", "GRS 1980", 4989, 6659),
+    9988: _geocentric("ITRF2020",
+                      "International Terrestrial Reference Frame 2020",
+                      "GRS 1980", 9988, None),
 }
 
 _PROJ_WKT = {
@@ -195,7 +285,69 @@ _PROJ_WKT = {
          _param_deg("Latitude of 2nd standard parallel", 40.5, 8824),
          _param_m("Easting at false origin", 0, 8826),
          _param_m("Northing at false origin", -4000000, 8827)], 3310),
+    28355: _proj("GDA94 / MGA zone 55", 4283, "Map Grid of Australia zone 55",
+                 "Transverse Mercator", 9807,
+                 _tm(0, 147, 0.9996, 500000, 10000000), 28355),
 }
+
+# ---- special-feature codes from the reference list (crsstrings.jl:58-63):
+# 2986 exercises axis.meridian (polar CRS), 3407 non-metre units with
+# conversion_factor, 31288 base_crs.datum.prime_meridian. ----
+
+_CLARKE_FT = 'LENGTHUNIT["Clarke\'s foot",0.3047972654]'
+
+_PROJ_WKT[2986] = (
+    'PROJCRS["Terre Adelie 1950 / Terre Adelie Polar Stereographic",'
+    'BASEGEOGCRS["Terre Adelie 1950",'
+    'DATUM["Pointe Geologie Perroud 1950",'
+    + _ellps("International 1924") + ',ID["EPSG",6637]],'
+    'ID["EPSG",4637]],'
+    'CONVERSION["Terre Adelie Polar Stereographic",'
+    'METHOD["Polar Stereographic (variant C)",ID["EPSG",9830]],'
+    + _param_deg("Latitude of standard parallel", -67, 8832) + ","
+    + _param_deg("Longitude of origin", 140, 8833) + ","
+    + _param_m("Easting at false origin", 300000, 8826) + ","
+    + _param_m("Northing at false origin", 200000, 8827) +
+    '],CS[Cartesian,2],'
+    'AXIS["easting (X)",north,MERIDIAN[230,' + _DEG + '],' + _M + '],'
+    'AXIS["northing (Y)",north,MERIDIAN[140,' + _DEG + '],' + _M + '],'
+    'ID["EPSG",2986]]'
+)
+
+_PROJ_WKT[3407] = (
+    'PROJCRS["Hong Kong 1963 Grid System",'
+    'BASEGEOGCRS["Hong Kong 1963",'
+    'DATUM["Hong Kong 1963",' + _ellps("Clarke 1858") + '],'
+    'ID["EPSG",4738]],'
+    'CONVERSION["Hong Kong 1963 Grid",'
+    'METHOD["Cassini-Soldner",ID["EPSG",9806]],'
+    + _param_deg("Latitude of natural origin", 22.31213333333334, 8801) + ","
+    + _param_deg("Longitude of natural origin", 114.1785555555556, 8802) + ","
+    + 'PARAMETER["False easting",132033.92,' + _CLARKE_FT
+    + ',ID["EPSG",8806]],'
+    + 'PARAMETER["False northing",62565.96,' + _CLARKE_FT
+    + ',ID["EPSG",8807]]'
+    '],CS[Cartesian,2],'
+    'AXIS["easting (E)",east,' + _CLARKE_FT + '],'
+    'AXIS["northing (N)",north,' + _CLARKE_FT + '],'
+    'ID["EPSG",3407]]'
+)
+
+_PROJ_WKT[31288] = (
+    'PROJCRS["MGI (Ferro) / M31",'
+    'BASEGEOGCRS["MGI (Ferro)",'
+    'DATUM["Militar-Geographische Institut (Ferro)",'
+    + _ellps("Bessel 1841") + ',ID["EPSG",6805]],'
+    'PRIMEM["Ferro",-17.66666666666667,' + _DEG + '],'
+    'ID["EPSG",4805]],'
+    'CONVERSION["Austria Gauss-Kruger M31",'
+    'METHOD["Transverse Mercator",ID["EPSG",9807]],'
+    + ",".join(_tm(0, 31, 1.0, 450000, 0)) +
+    '],CS[Cartesian,2],'
+    'AXIS["northing (X)",north,' + _M + '],'
+    'AXIS["easting (Y)",east,' + _M + '],'
+    'ID["EPSG",31288]]'
+)
 
 WKT2 = {**_GEOG_WKT, **_PROJ_WKT}
 

@@ -141,3 +141,48 @@ def test_corpus_spot_values():
 def test_corpus_covers_reference_breadth():
     """>= 20 codes differentially pinned (VERDICT round-1 item 8)."""
     assert len(WC.WKT2) >= 20
+
+
+# the reference's full code list (test/crsstrings.jl:2-69)
+_REFERENCE_CODES = [
+    2157, 2193, 3035, 3310, 3395, 3857, 4171, 4207, 4208, 4230, 4231,
+    4267, 4269, 4274, 4275, 4277, 4314, 4326, 4618, 4659, 4666, 4668,
+    4674, 4745, 4746, 4988, 4989, 5070, 5324, 5527, 8086, 8232, 8237,
+    8240, 8246, 8249, 8252, 8255, 9777, 9782, 9988, 10176, 10414,
+    25832, 27700, 28355, 29903, 2180, 32600, 32700, 2986, 3407, 31288,
+    22248,
+]
+
+# 32600/32700 are the UTM family template codes (32600+zone /
+# 32700+zone) — resolved by the zone-pattern parser, not corpus WKT.
+# 10176 / 10414 / 22248: EPSG facts not confidently reproducible in
+# this offline sandbox; excluded rather than risk authoring wrong
+# registry values (corpus honesty rule).
+_PATTERN_CODES = {32600, 32700}
+_EXCLUDED = {10176, 10414, 22248}
+
+
+def test_corpus_covers_reference_code_list():
+    """Round-3 growth (VERDICT r2 item 5): every code in the
+    reference's crsstrings.jl list is either in the WKT2 corpus, a
+    UTM pattern code, or explicitly excluded with a reason above."""
+    missing = [c for c in _REFERENCE_CODES
+               if c not in WC.WKT2 and c not in _PATTERN_CODES
+               and c not in _EXCLUDED]
+    assert missing == []
+    covered = [c for c in set(_REFERENCE_CODES) if c in WC.WKT2]
+    assert len(covered) >= 48
+
+
+def test_corpus_special_feature_codes():
+    """The three codes the reference calls out for special PROJJSON
+    features (crsstrings.jl:58-63)."""
+    d = WC.projjson_for(2986)  # coordinate_system.axis[...].meridian
+    assert any("meridian" in a for a in d["coordinate_system"]["axis"])
+    d = WC.projjson_for(3407)  # non-metre unit → conversion_factor
+    fe = [p for p in d["conversion"]["parameters"]
+          if p["name"] == "False easting"][0]
+    assert isinstance(fe["unit"], dict)
+    assert abs(fe["unit"]["conversion_factor"] - 0.3047972654) < 1e-12
+    d = WC.projjson_for(31288)  # base_crs.datum.prime_meridian
+    assert d["base_crs"]["datum"]["prime_meridian"]["name"] == "Ferro"
