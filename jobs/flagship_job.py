@@ -33,6 +33,9 @@ def main() -> None:
     ap.add_argument("--job-id", default="flagship")
     ap.add_argument("--res", type=int, default=3)
     ap.add_argument("--salt", type=int, default=16)
+    ap.add_argument("--fail-after", default=None,
+                    help="crash injection for the resume test: abort "
+                         "(exit 7) right after this stage commits")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("geoio-flagship").getOrCreate()
@@ -54,6 +57,10 @@ def main() -> None:
             geotag_lon(F.col("html").cast("string")).alias("lon"))
 
     extracted = job.stage("extract", extract)
+    if args.fail_after == "extract":
+        print("CRASH-INJECT after extract", file=sys.stderr)
+        spark.stop()
+        sys.exit(7)
 
     def join_counts():
         pts = extracted.select(
