@@ -6,7 +6,7 @@ Scope: edition-2 messages, grid templates 3.0 (regular lat/lon) and
 3.40 (regular Gaussian — latitudes from Legendre roots via
 numpy.polynomial.legendre.leggauss), data representation template 5.0
 (simple packing), optional bitmap, multi-message files. Values decode as
-R + 2^E · X · 10^-D per the spec's sign-magnitude E/D encoding.
+(R + 2^E · X) · 10^-D per the spec (decimal scale divides R too).
 
 Output: the engine's long-form grid table (cell_id, i, j, x, y,
 <one column per message: discipline/category/number name + level>).
@@ -111,15 +111,33 @@ def _decode_message(msg: bytes, discipline: int) -> dict:
                     "level": level}
         elif sec == 5:
             tmpl = _i(s, 9, 2)
-            if tmpl != 0:
+            if tmpl not in (0, 2, 3):
                 raise ValueError(f"unsupported packing template 5.{tmpl}")
             pack = {
+                "tmpl": tmpl,
                 "n": _i(s, 5, 4),
                 "R": struct.unpack_from(">f", s, 11)[0],
                 "E": _sm(_i(s, 15, 2), 16),
                 "D": _sm(_i(s, 17, 2), 16),
                 "nbits": s[19],
             }
+            if tmpl in (2, 3):  # complex packing (group split)
+                if s[22] != 0:
+                    raise ValueError(
+                        "complex packing with missing-value management "
+                        f"{s[22]} unsupported (only 0 = none)")
+                pack.update({
+                    "ng": _i(s, 31, 4),
+                    "width_ref": s[35], "width_bits": s[36],
+                    "len_ref": _i(s, 37, 4), "len_inc": s[41],
+                    "last_len": _i(s, 42, 4), "len_bits": s[46],
+                })
+            if tmpl == 3:       # + spatial differencing
+                pack["order"] = s[47]
+                pack["extra_octets"] = s[48]
+                if pack["order"] not in (1, 2):
+                    raise ValueError(
+                        f"spatial differencing order {pack['order']}")
         elif sec == 6:
             if s[5] == 0:  # bitmap present in this section
                 bits = np.unpackbits(
@@ -127,7 +145,10 @@ def _decode_message(msg: bytes, discipline: int) -> dict:
                 bitmap = bits.astype(bool)
         elif sec == 7:
             data = s[5:]
-            vals = _unpack_simple(data, pack)
+            if pack["tmpl"] == 0:
+                vals = _unpack_simple(data, pack)
+            else:
+                vals = _unpack_complex(data, pack)
             if bitmap is not None:
                 full = np.full(len(bitmap), np.nan)
                 full[bitmap[:len(full)]] = vals
@@ -151,6 +172,86 @@ def _decode_message(msg: bytes, discipline: int) -> dict:
     raise ValueError("GRIB message missing data section")
 
 
+def _bit_fields(bits: np.ndarray, pos: int, n: int, width: int):
+    """n big-endian fields of `width` bits starting at bit `pos` →
+    (int64 array, new pos). Vectorized reshape, no per-field loop."""
+    if width == 0:
+        return np.zeros(n, np.int64), pos
+    f = bits[pos:pos + n * width].reshape(n, width).astype(np.int64)
+    return (f * (1 << np.arange(width - 1, -1, -1))).sum(axis=1), \
+        pos + n * width
+
+
+def _align(pos: int) -> int:
+    return (pos + 7) & ~7
+
+
+def _unpack_complex(data: bytes, pack: dict) -> np.ndarray:
+    """Complex packing (template 5.2) and complex packing with spatial
+    differencing (5.3): per-group references/widths/lengths, each array
+    byte-aligned, then the per-group packed values; 5.3 prepends the
+    `order` initial field values + overall minimum (sign-magnitude,
+    extra_octets each) and reconstructs by prefix-sum integration.
+    WMO FM 92 GRIB-2 regulations 7.2/7.3 (public spec; the reference
+    delegates to eccodes for the same decode)."""
+    bits = np.unpackbits(np.frombuffer(data, np.uint8))
+    pos = 0
+    n = pack["n"]
+    od = pack.get("order", 0)
+    ivals, gmin = [], 0
+    if pack["tmpl"] == 3:
+        eo8 = pack["extra_octets"] * 8
+        for _ in range(od):
+            v, pos = _bit_fields(bits, pos, 1, eo8)
+            ivals.append(_sm(int(v[0]), eo8))
+        v, pos = _bit_fields(bits, pos, 1, eo8)
+        gmin = _sm(int(v[0]), eo8)
+    ng = pack["ng"]
+    refs, pos = _bit_fields(bits, pos, ng, pack["nbits"])
+    pos = _align(pos)
+    widths, pos = _bit_fields(bits, pos, ng, pack["width_bits"])
+    widths = widths + pack["width_ref"]
+    pos = _align(pos)
+    slens, pos = _bit_fields(bits, pos, ng, pack["len_bits"])
+    lens = pack["len_ref"] + pack["len_inc"] * slens
+    pos = _align(pos)
+    if ng:
+        lens[-1] = pack["last_len"]
+    out = np.empty(n, np.int64)
+    at = 0
+    for g in range(ng):
+        length = int(lens[g])
+        w = int(widths[g])
+        if w == 0:
+            out[at:at + length] = refs[g]
+        else:
+            v, pos = _bit_fields(bits, pos, length, w)
+            out[at:at + length] = refs[g] + v
+        at += length
+    if at != n:
+        raise ValueError(f"complex packing group lengths sum {at} != {n}")
+    if pack["tmpl"] == 3:
+        # first `od` values come from the header; the rest are offset
+        # differences — integrate (g2 spec: X[n] += gmin, then prefix sums)
+        d = out.copy()
+        d[od:] += gmin
+        if od == 1:
+            d[0] = ivals[0]
+            x = np.cumsum(d)
+        else:
+            f = np.empty(n, np.int64)  # first differences
+            f[0] = 0
+            f[1] = ivals[1] - ivals[0]
+            f[2:] = d[2:]
+            f[1:] = np.cumsum(f[1:])
+            x = ivals[0] + np.concatenate(([0], np.cumsum(f[1:])))
+            x[0] = ivals[0]
+            if n > 1:
+                x[1] = ivals[1]
+        out = x
+    return (pack["R"] + out * (2.0 ** pack["E"])) * (10.0 ** -pack["D"])
+
+
 def _unpack_simple(data: bytes, pack: dict) -> np.ndarray:
     n, nbits = pack["n"], pack["nbits"]
     if nbits == 0:
@@ -160,7 +261,8 @@ def _unpack_simple(data: bytes, pack: dict) -> np.ndarray:
         need = n * nbits
         bits = bits[:need].reshape(n, nbits).astype(np.int64)
         x = (bits * (1 << np.arange(nbits - 1, -1, -1))).sum(axis=1)
-    return pack["R"] + x * (2.0 ** pack["E"]) * (10.0 ** -pack["D"])
+    # WMO: Y × 10^D = R + X × 2^E  (the decimal scale divides R too)
+    return (pack["R"] + x * (2.0 ** pack["E"])) * (10.0 ** -pack["D"])
 
 
 def read(spark: SparkSession, path: str) -> DataFrame:

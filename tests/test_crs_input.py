@@ -248,3 +248,14 @@ def test_projected_to_projected_chain():
     x2, y2 = ti(*t(x, y))
     np.testing.assert_allclose(x2, x, atol=1e-5)
     np.testing.assert_allclose(y2, y, atol=1e-5)
+
+
+def test_shapefile_prj_passthrough_resolves(spark):
+    """S3 integration: the raw .prj WKT1 stored by the shapefile reader
+    in GeoSchema.crs now resolves through crs_info (F9 breadth)."""
+    from geoio_jl_spark.geoschema import GeoSchema
+    from geoio_jl_spark.sources import shapefile
+    df = shapefile.read(spark, "/root/reference/test/data/zone.shp")
+    crs = GeoSchema.from_df(df).crs
+    assert crs.startswith("GEOGCS")
+    assert crs_info(crs)["kind"] == "geographic"

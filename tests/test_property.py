@@ -125,8 +125,9 @@ def test_jpeg_bitstream_roundtrip(items):
        st.lists(st.integers(0, 2**13 - 1), min_size=1, max_size=200))
 @settings(max_examples=50, deadline=None)
 def test_grib_simple_packing_unpack(nbits, E, D_, xs):
-    """GRIB2 simple packing: bit-packed X decode to R + 2^E X 10^-D for
-    arbitrary widths, against a per-value python reference."""
+    """GRIB2 simple packing: bit-packed X decode to (R + 2^E X) 10^-D
+    (WMO: the decimal scale divides R too) for arbitrary widths,
+    against a per-value python reference."""
     import numpy as np
 
     from geoio_jl_spark.sources.grib2 import _unpack_simple
@@ -136,5 +137,5 @@ def test_grib_simple_packing_unpack(nbits, E, D_, xs):
     data = int(bits, 2).to_bytes(len(bits) // 8, "big") if bits else b""
     pack = {"n": len(xs), "R": 3.25, "E": E, "D": D_, "nbits": nbits}
     got = _unpack_simple(data, pack)
-    want = [3.25 + x * 2.0**E * 10.0**-D_ for x in xs]
+    want = [(3.25 + x * 2.0**E) * 10.0**-D_ for x in xs]
     np.testing.assert_allclose(got, want, rtol=1e-12)
