@@ -35,7 +35,8 @@ HEADLINE = [
     "connected_components", "ngram_jaccard",
     "ngram_jaccard_capped", "simhash",
     "cosine_topk", "embedding_near_dup", "events_window", "events_rollup",
-    "asof_join", "bpe_tokens", "gopher_filter", "zorder_cells",
+    "asof_join", "bpe_tokens", "gopher_filter", "gopher_repetition",
+    "url_canonical", "zorder_cells",
     "mercator3395",
 ]
 

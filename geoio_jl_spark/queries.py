@@ -1076,6 +1076,157 @@ WHERE {dot.format(a='a.embedding', b='b.embedding')}
 
 
 # ---------------------------------------------------------------------------
+# Q: URL canonicalization + URL-level dedup (the first dedup pass of a
+# Common-Crawl pipeline; one SQL expression rendered for both engines)
+# ---------------------------------------------------------------------------
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoio_jl_spark.functions import urls as U
+    docs = _read(spark, sf_dir, "documents")
+    d = docs.select("doc_id",
+                    F.expr(U.raw_url_sql("doc_id", "spark")).alias("url"))
+    d = d.select("doc_id", "url",
+                 F.expr(U.canonical_url_sql("url", "spark")).alias("canon_url"),
+                 F.expr(U.host_sql("url", "spark")).alias("host"))
+    return d.withColumn("domain", F.expr(U.domain_sql("host", "spark")))
+
+
+def _sql_url_base() -> str:
+    from geoio_jl_spark.functions import urls as U
+    raw = U.raw_url_sql("doc_id", "duckdb")
+    canon = U.canonical_url_sql("url", "duckdb")
+    host = U.host_sql("url", "duckdb")
+    return (f"WITH u AS (SELECT doc_id, {raw} AS url FROM documents), "
+            f"h AS (SELECT doc_id, url, {canon} AS canon_url, "
+            f"{host} AS host FROM u)")
+
+
+def _sql_url_canonical() -> str:
+    from geoio_jl_spark.functions import urls as U
+    return (f"{_sql_url_base()} SELECT doc_id, url, canon_url, host, "
+            f"{U.domain_sql('host', 'duckdb')} AS domain FROM h")
+
+
+def q_url_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup: canonical-form groups with >1 members (keeper =
+    min doc_id) — exact groupBy, no content hashing needed."""
+    return (q_url_canonical(spark, sf_dir)
+            .groupBy("canon_url")
+            .agg(F.count("*").alias("n_copies"),
+                 F.min("doc_id").alias("keep_id"))
+            .filter(F.col("n_copies") > 1))
+
+
+def _sql_url_dup_groups() -> str:
+    return (f"{_sql_url_base()} "
+            "SELECT canon_url, count(*) AS n_copies, min(doc_id) AS keep_id "
+            "FROM h GROUP BY canon_url HAVING count(*) > 1")
+
+
+# ---------------------------------------------------------------------------
+# Q: Gopher repetition signals (Rae et al. 2021 §A1.1 repetition rules,
+# adapted to line-less synthetic text: word- and 3-gram-level repetition)
+# ---------------------------------------------------------------------------
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoio_jl_spark.operators.dedup import shingles_from_tokens
+    docs = _read(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", F.expr(D.tokens_sql("text", "spark")).alias("toks"))
+    words = toked.select("doc_id", F.explode("toks").alias("w"))
+    wstats = (words.groupBy("doc_id", "w").count()
+              .groupBy("doc_id")
+              .agg(F.max("count").alias("top_w"),
+                   F.sum("count").alias("n_w")))
+    tris = toked.select("doc_id", F.explode(
+        F.expr(shingles_from_tokens("toks", 3))).alias("g"))
+    tstats = (tris.groupBy("doc_id", "g").count()
+              .groupBy("doc_id")
+              .agg(F.sum("count").alias("n_g"),
+                   F.count("*").alias("d_g")))
+    out = (wstats.join(tstats, "doc_id", "left")
+           .select(
+               "doc_id",
+               (F.col("top_w").cast("double")
+                / F.col("n_w").cast("double")).alias("top_word_frac"),
+               F.coalesce(
+                   (F.col("n_g") - F.col("d_g")).cast("double")
+                   / F.col("n_g").cast("double"),
+                   F.lit(0.0)).alias("dup_trigram_frac")))
+    return out.withColumn(
+        "repetition_ok",
+        ((F.col("top_word_frac") <= 0.2)
+         & (F.col("dup_trigram_frac") <= 0.3)).cast("int"))
+
+
+def _sql_gopher_repetition() -> str:
+    toks = D.tokens_sql("text", "duckdb")
+    return f"""
+WITH toked AS (SELECT doc_id, {toks} AS toks FROM documents),
+w AS (SELECT doc_id, unnest(toks) AS w FROM toked),
+wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+ws AS (SELECT doc_id, max(c) AS top_w, sum(c) AS n_w FROM wc GROUP BY 1),
+g AS (SELECT doc_id, unnest({_shingles_duckdb()}) AS g FROM documents),
+gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+gs AS (SELECT doc_id, sum(c) AS n_g, count(*) AS d_g FROM gc GROUP BY 1),
+j AS (
+  SELECT ws.doc_id,
+         CAST(top_w AS DOUBLE) / CAST(n_w AS DOUBLE) AS top_word_frac,
+         coalesce(CAST(n_g - d_g AS DOUBLE) / CAST(n_g AS DOUBLE), 0.0)
+           AS dup_trigram_frac
+  FROM ws LEFT JOIN gs ON ws.doc_id = gs.doc_id
+)
+SELECT doc_id, top_word_frac, dup_trigram_frac,
+       CAST(top_word_frac <= 0.2 AND dup_trigram_frac <= 0.3 AS INT)
+         AS repetition_ok
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: semantic dedup — embedding near-dup edges → connected components →
+# keeper per cluster (the SemDeDup-shaped composition: LSH buckets bound
+# the candidate set, star contraction bounds the output, components give
+# the keep/drop decision)
+# ---------------------------------------------------------------------------
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoio_jl_spark.operators.components import (connected_components,
+                                                     dedup_keepers)
+    edges = (q_embedding_near_dup(spark, sf_dir)
+             .select(F.col("id_a").alias("rep"),
+                     F.col("id_b").alias("member")))
+    comp = connected_components(edges)
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id")
+    out = dedup_keepers(emb, comp, id_col="vec_id")
+    return out.select(
+        "vec_id",
+        F.coalesce("component", F.col("vec_id")).alias("cluster"),
+        F.col("keep").cast("int").alias("keep"))
+
+
+def _sql_semantic_dedup() -> str:
+    return f"""
+WITH RECURSIVE nd AS ({_sql_embedding_near_dup()}),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM nd
+  UNION
+  SELECT id_b AS u, id_a AS v FROM nd
+),
+reach(node, r) AS (
+  SELECT DISTINCT u, u FROM sym
+  UNION
+  SELECT reach.node, sym.v FROM reach JOIN sym ON sym.u = reach.r
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT e.vec_id,
+       coalesce(c.component, e.vec_id) AS cluster,
+       CAST(c.component IS NULL OR c.component = e.vec_id AS INT) AS keep
+FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1120,4 +1271,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
         "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),
         "embedding_near_dup": (q_embedding_near_dup, _sql_embedding_near_dup()),
+        "url_canonical": (q_url_canonical, _sql_url_canonical()),
+        "url_dup_groups": (q_url_dup_groups, _sql_url_dup_groups()),
+        "gopher_repetition": (q_gopher_repetition, _sql_gopher_repetition()),
+        "semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup()),
     }
