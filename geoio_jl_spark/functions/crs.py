@@ -35,6 +35,10 @@ KNOWN_CRS = {
                   "projection": "webmercator"},
     "EPSG:32633": {"kind": "projected", "axis": "xy", "unit": "m",
                    "projection": "utm", "zone": 33, "south": False},
+    "ESRI:54030": {"kind": "projected", "axis": "xy", "unit": "m",
+                   "projection": "robinson", "name": "World_Robinson"},
+    "EPSG:54030": {"kind": "projected", "axis": "xy", "unit": "m",
+                   "projection": "robinson", "name": "World_Robinson"},
 }
 
 

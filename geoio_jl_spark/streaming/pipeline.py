@@ -49,6 +49,23 @@ def stream_exact_dedup(stream: DataFrame, ts: str = "ts",
             .dropDuplicatesWithinWatermark(["text_hash"]))
 
 
+def stream_url_dedup(stream: DataFrame, ts: str = "ts",
+                     url: str = "url",
+                     watermark: str = "10 minutes") -> DataFrame:
+    """Streaming URL-level dedup: canonicalize (functions/urls.py — one
+    codegen expression, no UDF) and keep the first occurrence of each
+    canonical form within the watermark horizon.  The ingest-side twin
+    of the batch `url_dup_groups` pass: at crawl scale the same page is
+    re-fetched under utm/fragment/case variants within hours, so
+    watermark-bounded state removes most copies before content hashing
+    ever runs."""
+    from geoio_jl_spark.functions import urls as U
+    canon = stream.withColumn(
+        "canon_url", F.expr(U.canonical_url_sql(url, "spark")))
+    return (canon.withWatermark(ts, watermark)
+            .dropDuplicatesWithinWatermark(["canon_url"]))
+
+
 def sessionize(stream: DataFrame, gap_seconds: int = 1800,
                user_col: str = "user_id", ts_col: str = "ts",
                use_timeout: bool = False) -> DataFrame:

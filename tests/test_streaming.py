@@ -104,3 +104,39 @@ def test_stream_exact_dedup_first_wins(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT text FROM dedup_stream").collect()
     assert sorted(r["text"] for r in got) == ["alpha", "beta", "delta", "gamma"]
+
+
+def test_stream_url_dedup_canonical_variants_collapse(spark, tmp_path):
+    """Streaming URL dedup: case/utm/fragment/port variants of one page
+    collapse to a single output row; distinct pages all pass."""
+    import os
+
+    from geoio_jl_spark.streaming.pipeline import stream_url_dedup
+
+    src = tmp_path / "urls_dir"
+    src.mkdir()
+    pdf = pd.DataFrame({
+        "doc_id": range(6),
+        "ts": pd.to_datetime([f"2024-01-01 10:0{i}:00" for i in range(6)]),
+        "url": [
+            "https://www.a.com/p?id=1",
+            "HTTPS://WWW.A.COM:443/p?utm_source=x&id=1#frag",  # same page
+            "https://a.com/p/?id=1",                           # same page
+            "https://a.com/p?id=2",                            # different
+            "https://b.org/q",
+            "https://B.ORG/q#top",                             # dup of b
+        ],
+    })
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src / "p"))
+    schema = spark.read.parquet(str(src / "p")).schema
+    stream = spark.readStream.schema(schema).parquet(str(src / "p")) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = stream_url_dedup(stream)
+    q = (out.writeStream.format("memory").queryName("url_stream")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt_url"))
+         .start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT canon_url FROM url_stream").collect()
+    assert sorted(r["canon_url"] for r in got) == [
+        "https://a.com/p?id=1", "https://a.com/p?id=2", "https://b.org/q"]
