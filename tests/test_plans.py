@@ -50,3 +50,17 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
 def test_salted_join_keeps_broadcast(spark, sf_dir):
     p = plan_of(Q.q_pip_pairs_salted(spark, sf_dir))
     assert "BroadcastHashJoin" in p
+
+
+def test_url_canonical_is_shuffle_free(spark, sf_dir):
+    """URL canonicalization is a pure projection: no Exchange, scan
+    pruned to doc_id (the URL is derived; a real table would read url)."""
+    p = plan_of(Q.q_url_canonical(spark, sf_dir))
+    assert "Exchange" not in p
+    assert "ReadSchema: struct<doc_id:bigint>" in p
+
+
+def test_gopher_repetition_scan_pruned(spark, sf_dir):
+    p = plan_of(Q.q_gopher_repetition(spark, sf_dir))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+    assert "CartesianProduct" not in p
