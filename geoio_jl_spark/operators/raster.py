@@ -120,3 +120,63 @@ def degenerate_axes(df: DataFrame, cols: list[str]) -> list[str]:
         aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
     row = df.agg(*aggs).collect()[0]
     return [c for c in cols if row[f"_mn_{c}"] == row[f"_mx_{c}"]]
+
+
+def warp_to_crs(src_values: DataFrame, src_spec: GridSpec,
+                dst_spec: GridSpec, value_cols: list[str],
+                partitions: int | None = None) -> DataFrame:
+    """Raster reprojection by inverse mapping (nearest neighbor): the
+    standard warp. Generates the destination grid implicitly, transforms
+    each destination cell center dst-CRS → src-CRS through the engine's
+    closed-form transforms (one Arrow-batched crossing — the transform
+    itself is numpy), inverse-affines into source indices, and fetches
+    values with a plain (i, j) equi-join — co-partitionable, no shuffle
+    of the destination side beyond the join, both rasters stay implicit.
+    Cells outside the source coverage keep NaN values and mask=0
+    (fill_to_parent semantics).
+
+    Reference role: PROJ-based raster reprojection the reference reaches
+    through Meshes/Proj (gi.jl:63-68); here it composes grid_cells +
+    functions.crs.get_transform.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, StructField, StructType)
+
+    from geoio_jl_spark.functions.crs import get_transform
+    from geoio_jl_spark.shipping import ensure_pyfiles
+
+    spark = src_values.sparkSession
+    ensure_pyfiles(spark)
+    dst = grid_cells(spark, dst_spec, partitions)
+    inv = get_transform(dst_spec.crs, src_spec.crs)
+
+    @F.pandas_udf(StructType([StructField("sx", DoubleType()),
+                              StructField("sy", DoubleType())]))
+    def to_src(x, y):
+        sx, sy = inv(x.values, y.values)
+        return pd.DataFrame({"sx": sx, "sy": sy})
+
+    d = dst.withColumn("_s", to_src(F.col("x"), F.col("y")))
+    # inverse affine (full 2x2): index = A^-1 (pt - b)
+    (a00, a01), (a10, a11) = src_spec.A
+    det = a00 * a11 - a01 * a10
+    px = F.col("_s.sx") - F.lit(float(src_spec.b[0]))
+    py = F.col("_s.sy") - F.lit(float(src_spec.b[1]))
+    si = F.round((F.lit(a11 / det) * px - F.lit(a01 / det) * py))
+    sj = F.round((F.lit(-a10 / det) * px + F.lit(a00 / det) * py))
+    d = (d.withColumn("_si", si.cast("bigint"))
+          .withColumn("_sj", sj.cast("bigint"))
+          .drop("_s"))
+    in_range = ((F.col("_si") >= 0) & (F.col("_si") < src_spec.nx)
+                & (F.col("_sj") >= 0) & (F.col("_sj") < src_spec.ny))
+    d = d.withColumn("_si", F.when(in_range, F.col("_si")))\
+         .withColumn("_sj", F.when(in_range, F.col("_sj")))
+    src = src_values.select(F.col("i").alias("_si"),
+                            F.col("j").alias("_sj"), *value_cols)
+    out = d.join(src, ["_si", "_sj"], "left")
+    out = out.withColumn(
+        "mask", F.when(F.col("_si").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0)).cast("tinyint"))
+    for c in value_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(float("nan"))))
+    return out.drop("_si", "_sj")
