@@ -646,6 +646,18 @@ def webmercator_to_lonlat_cols(x: Column, y: Column) -> tuple[Column, Column]:
     return lon, lat
 
 
+# (src, dst) pairs whose transform exists as PURE column arithmetic —
+# operators that transform point columns (e.g. raster warp) check this
+# registry first so the hot path stays inside whole-stage codegen with
+# no Python crossing at all
+COLUMN_TRANSFORMS = {
+    ("EPSG:4326", "EPSG:3857"): lonlat_to_webmercator_cols,
+    ("OGC:CRS84", "EPSG:3857"): lonlat_to_webmercator_cols,
+    ("EPSG:3857", "EPSG:4326"): webmercator_to_lonlat_cols,
+    ("EPSG:3857", "OGC:CRS84"): webmercator_to_lonlat_cols,
+}
+
+
 # ---------------------------------------------------------------------------
 # WKB geometry transform (Arrow-batched, full geometry support)
 # ---------------------------------------------------------------------------

@@ -139,24 +139,36 @@ def warp_to_crs(src_values: DataFrame, src_spec: GridSpec,
     through Meshes/Proj (gi.jl:63-68); here it composes grid_cells +
     functions.crs.get_transform.
     """
-    import pandas as pd
-    from pyspark.sql.types import (DoubleType, StructField, StructType)
-
-    from geoio_jl_spark.functions.crs import get_transform
-    from geoio_jl_spark.shipping import ensure_pyfiles
+    from geoio_jl_spark.functions.crs import COLUMN_TRANSFORMS, get_transform
 
     spark = src_values.sparkSession
-    ensure_pyfiles(spark)
     dst = grid_cells(spark, dst_spec, partitions)
-    inv = get_transform(dst_spec.crs, src_spec.crs)
 
-    @F.pandas_udf(StructType([StructField("sx", DoubleType()),
-                              StructField("sy", DoubleType())]))
-    def to_src(x, y):
-        sx, sy = inv(x.values, y.values)
-        return pd.DataFrame({"sx": sx, "sy": sy})
+    pair = (dst_spec.crs, src_spec.crs)
+    if src_spec.crs == dst_spec.crs:
+        # same CRS: the whole warp is affine codegen, no crossing
+        d = dst.withColumn("_s", F.struct(F.col("x").alias("sx"),
+                                          F.col("y").alias("sy")))
+    elif pair in COLUMN_TRANSFORMS:
+        # registered pure-column transform: stays in whole-stage codegen
+        sx, sy = COLUMN_TRANSFORMS[pair](F.col("x"), F.col("y"))
+        d = dst.withColumn("_s", F.struct(sx.alias("sx"), sy.alias("sy")))
+    else:
+        # general closed forms are numpy: ONE Arrow-batched crossing
+        import pandas as pd
+        from pyspark.sql.types import DoubleType, StructField, StructType
 
-    d = dst.withColumn("_s", to_src(F.col("x"), F.col("y")))
+        from geoio_jl_spark.shipping import ensure_pyfiles
+        ensure_pyfiles(spark)
+        inv = get_transform(dst_spec.crs, src_spec.crs)
+
+        @F.pandas_udf(StructType([StructField("sx", DoubleType()),
+                                  StructField("sy", DoubleType())]))
+        def to_src(x, y):
+            sx, sy = inv(x.values, y.values)
+            return pd.DataFrame({"sx": sx, "sy": sy})
+
+        d = dst.withColumn("_s", to_src(F.col("x"), F.col("y")))
     # inverse affine (full 2x2): index = A^-1 (pt - b)
     (a00, a01), (a10, a11) = src_spec.A
     det = a00 * a11 - a01 * a10

@@ -1227,6 +1227,79 @@ FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
 
 
 # ---------------------------------------------------------------------------
+# Q: raster warp (web-mercator → lon/lat inverse-mapping reprojection).
+# Both engines derive the same implicit grids (no input table — rasters
+# are generated, the engine's §1.3 model); window corners are computed
+# ONCE here in Python and embedded as identical literals so the only
+# cross-engine arithmetic is the shared closed form. Integer outputs
+# only (indices + looked-up value) → hash-stable.
+# ---------------------------------------------------------------------------
+
+_WARP_R = 6378137.0
+_WARP_SRC = dict(nx=12, ny=10, x0=-5.0, y0=40.0)  # 1° lon/lat cells
+
+
+def _warp_dst_literals():
+    import math
+    x0 = _WARP_R * math.radians(_WARP_SRC["x0"])
+    y0 = _WARP_R * math.log(math.tan(math.pi / 4 + math.radians(_WARP_SRC["y0"]) / 2))
+    x1 = _WARP_R * math.radians(10.0)
+    y1 = _WARP_R * math.log(math.tan(math.pi / 4 + math.radians(53.0) / 2))
+    nx, ny = 15, 13
+    return x0, y0, (x1 - x0) / nx, (y1 - y0) / ny, nx, ny
+
+
+def q_raster_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoio_jl_spark.operators.raster import (GridSpec, grid_cells,
+                                                 warp_to_crs)
+    s = _WARP_SRC
+    src_spec = GridSpec(nx=s["nx"], ny=s["ny"], A=((1.0, 0.0), (0.0, 1.0)),
+                        b=(s["x0"], s["y0"]), crs="EPSG:4326")
+    x0, y0, ax, ay, nx, ny = _warp_dst_literals()
+    dst_spec = GridSpec(nx=nx, ny=ny, A=((ax, 0.0), (0.0, ay)),
+                        b=(x0, y0), crs="EPSG:3857")
+    src = grid_cells(spark, src_spec).withColumn(
+        "v", (F.col("i") * 1000 + F.col("j")).cast("bigint"))
+    out = warp_to_crs(src, src_spec, dst_spec, ["v"])
+    return out.select(
+        "i", "j",
+        F.when(F.col("mask") == 1, F.col("v").cast("bigint")).alias("v"),
+        F.col("mask").cast("int").alias("mask"))
+
+
+def _sql_raster_warp() -> str:
+    s = _WARP_SRC
+    x0, y0, ax, ay, nx, ny = _warp_dst_literals()
+    return f"""
+WITH d AS (
+  SELECT g % {nx} AS i, CAST(floor(g / {nx}.0) AS BIGINT) AS j
+  FROM generate_series(0, {nx * ny - 1}) AS t(g)
+),
+pt AS (
+  SELECT i, j, {ax!r} * i + {x0!r} AS x, {ay!r} * j + {y0!r} AS y FROM d
+),
+inv AS (
+  SELECT i, j, degrees(x / {_WARP_R!r}) AS lon,
+         degrees(atan(exp(y / {_WARP_R!r})) * 2 - pi() / 2) AS lat
+  FROM pt
+),
+idx AS (
+  SELECT i, j,
+         CAST(round(lon - ({s['x0']!r})) AS BIGINT) AS si,
+         CAST(round(lat - ({s['y0']!r})) AS BIGINT) AS sj
+  FROM inv
+)
+SELECT i, j,
+       CASE WHEN si BETWEEN 0 AND {s['nx'] - 1}
+             AND sj BETWEEN 0 AND {s['ny'] - 1}
+            THEN si * 1000 + sj END AS v,
+       CAST(si BETWEEN 0 AND {s['nx'] - 1}
+            AND sj BETWEEN 0 AND {s['ny'] - 1} AS INT) AS mask
+FROM idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1275,4 +1348,5 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "url_dup_groups": (q_url_dup_groups, _sql_url_dup_groups()),
         "gopher_repetition": (q_gopher_repetition, _sql_gopher_repetition()),
         "semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup()),
+        "raster_warp": (q_raster_warp, _sql_raster_warp()),
     }

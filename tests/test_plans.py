@@ -64,3 +64,10 @@ def test_gopher_repetition_scan_pruned(spark, sf_dir):
     p = plan_of(Q.q_gopher_repetition(spark, sf_dir))
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
     assert "CartesianProduct" not in p
+
+
+def test_warp_webmercator_is_pure_codegen(spark, sf_dir):
+    """The registered column-transform fast path keeps the web-mercator
+    warp entirely JVM-side — no Arrow/Python eval node in the plan."""
+    p = plan_of(Q.q_raster_warp(spark, sf_dir))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
