@@ -420,8 +420,10 @@ def polar_stereographic(variant: str, lat0_or_ts: float, lon0: float,
                         k0: float, fe: float, fn: float,
                         ell: Ellipsoid = WGS84):
     """Polar Stereographic variant A (EPSG 9810: natural origin at the
-    pole, scale k0) and variant B (EPSG 9829: standard parallel).
-    Snyder 21-33..21-41 / 22-x."""
+    pole, scale k0), variant B (EPSG 9829: standard parallel) and
+    variant C (EPSG 9830: false origin ON the standard parallel — the
+    Terre Adelie / EPSG:2986 method). EPSG convention both aspects:
+    E = FE + ρ sin(λ−λ0); N = FN [+ sgn·ρF for C] − sgn·ρ cos(λ−λ0)."""
     a, e = ell.a, ell.e
     south = lat0_or_ts < 0
     sgn = -1.0 if south else 1.0
@@ -434,19 +436,22 @@ def polar_stereographic(variant: str, lat0_or_ts: float, lon0: float,
 
     if variant == "A":
         kk = k0 * 2 * a / np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
-    else:  # variant B: scale from the standard parallel
+        off = 0.0
+    else:  # variants B / C: scale from the standard parallel
         phi_f = np.radians(abs(lat0_or_ts))
         kk = a * _m_fn(phi_f, ell) / _t(phi_f)
+        off = sgn * kk * _t(phi_f) if variant == "C" else 0.0
 
     def fwd(lon, lat):
         phi = sgn * np.radians(np.asarray(lat, float))
-        lam = sgn * (np.radians(np.asarray(lon, float)) - lam0)
+        theta = np.radians(np.asarray(lon, float)) - lam0
         rho = kk * _t(phi)
-        return fe + rho * np.sin(lam), fn - sgn * rho * np.cos(lam)
+        return (fe + rho * np.sin(theta),
+                fn + off - sgn * rho * np.cos(theta))
 
     def inv(x, y):
         xx = np.asarray(x, float) - fe
-        yy = sgn * (fn - np.asarray(y, float))
+        yy = sgn * (fn + off - np.asarray(y, float))
         rho = np.sqrt(xx * xx + yy * yy)
         t = rho / kk
         phi = np.pi / 2 - 2 * np.arctan(t)
@@ -454,8 +459,63 @@ def polar_stereographic(variant: str, lat0_or_ts: float, lon0: float,
             es = e * np.sin(phi)
             phi = np.pi / 2 - 2 * np.arctan(
                 t * ((1 - es) / (1 + es)) ** (e / 2))
-        lam = np.arctan2(xx, yy)
-        return np.degrees(sgn * lam + lam0), np.degrees(sgn * phi)
+        theta = np.arctan2(xx, yy)
+        return np.degrees(theta + lam0), np.degrees(sgn * phi)
+
+    return fwd, inv
+
+
+def cassini_soldner(lat0: float, lon0: float, fe: float, fn: float,
+                    ell: Ellipsoid = WGS84):
+    """Cassini-Soldner (EPSG 9806; Snyder 13-1..13-13), e.g. the Hong
+    Kong 1963 Grid (EPSG:3407)."""
+    a, e2 = ell.a, ell.e2
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    lam0 = np.radians(lon0)
+
+    def _mer(phi):  # meridian arc from the equator (Snyder 3-21)
+        return a * ((1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+                    - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024)
+                    * np.sin(2 * phi)
+                    + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * phi)
+                    - (35 * e6 / 3072) * np.sin(6 * phi))
+
+    m0 = float(_mer(np.radians(lat0)))
+    e1 = (1 - np.sqrt(1 - e2)) / (1 + np.sqrt(1 - e2))
+
+    def fwd(lon, lat):
+        phi = np.radians(np.asarray(lat, float))
+        lam = np.radians(np.asarray(lon, float)) - lam0
+        sin_p, cos_p = np.sin(phi), np.cos(phi)
+        nn = a / np.sqrt(1 - e2 * sin_p ** 2)
+        tt = np.tan(phi) ** 2
+        aa = lam * cos_p
+        cc = e2 * cos_p ** 2 / (1 - e2)
+        x = nn * (aa - tt * aa ** 3 / 6
+                  - (8 - tt + 8 * cc) * tt * aa ** 5 / 120)
+        y = (_mer(phi) - m0
+             + nn * np.tan(phi) * (aa ** 2 / 2
+                                   + (5 - tt + 6 * cc) * aa ** 4 / 24))
+        return fe + x, fn + y
+
+    def inv(E, Nn):
+        m1 = m0 + (np.asarray(Nn, float) - fn)
+        mu1 = m1 / (a * (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256))
+        phi1 = (mu1
+                + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * np.sin(2 * mu1)
+                + (21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32) * np.sin(4 * mu1)
+                + (151 * e1 ** 3 / 96) * np.sin(6 * mu1)
+                + (1097 * e1 ** 4 / 512) * np.sin(8 * mu1))
+        sin1 = np.sin(phi1)
+        t1 = np.tan(phi1) ** 2
+        n1 = a / np.sqrt(1 - e2 * sin1 ** 2)
+        r1 = a * (1 - e2) / (1 - e2 * sin1 ** 2) ** 1.5
+        dd = (np.asarray(E, float) - fe) / n1
+        phi = phi1 - (n1 * np.tan(phi1) / r1) * (
+            dd ** 2 / 2 - (1 + 3 * t1) * dd ** 4 / 24)
+        lam = (dd - t1 * dd ** 3 / 3
+               + (1 + 3 * t1) * t1 * dd ** 5 / 15) / np.cos(phi1)
+        return np.degrees(lam0 + lam), np.degrees(phi)
 
     return fwd, inv
 

@@ -253,6 +253,12 @@ def transform_from_projjson(doc: dict):
         ts = _get(p, _LATTS + _LAT1 + _LAT0, 90.0)
         lon_o = _get(p, ["longitudeoforigin"] + _LON0)
         return C.polar_stereographic("B", ts, lon_o, 1.0, fe, fn, ell)
+    if m in ("polarstereographicvariantc",):
+        ts = _get(p, _LATTS + _LAT1 + _LAT0, 90.0)
+        lon_o = _get(p, ["longitudeoforigin"] + _LON0)
+        return C.polar_stereographic("C", ts, lon_o, 1.0, fe, fn, ell)
+    if m in ("cassinisoldner", "cassini"):
+        return C.cassini_soldner(lat0, lon0, fe, fn, ell)
     if m in ("robinson",):
         return C.robinson_projection(lon0, fe, fn, ell.a)
     raise UnsupportedProjectionError(method)

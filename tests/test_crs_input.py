@@ -227,11 +227,46 @@ def test_unsupported_method_named_error():
     with pytest.raises(UnsupportedProjectionError, match="Krovak"):
         get_transform("EPSG:4326",
                       _WKT1_OSGB.replace("Transverse_Mercator", "Krovak"))
-    # Cassini-Soldner (EPSG:3407) resolves as info but not transform
-    info = crs_info("EPSG:3407")
-    assert info["projection"] == "Cassini-Soldner"
-    with pytest.raises(UnsupportedProjectionError, match="Cassini"):
-        get_transform("EPSG:4326", "EPSG:3407")
+
+
+def test_polar_stereographic_variant_c_published_example():
+    """EPSG guidance note 7-2 worked example for Polar Stereographic
+    variant C (Terre Adelie, EPSG:2986 — International 1924 ellipsoid):
+    66°36'18.820\"S 140°04'17.040\"E → E 303169.52, N 244055.72.
+    Also exercises the Clarke's-foot-free param path + corpus WKT2."""
+    t = get_transform("EPSG:4326", "EPSG:2986")
+    phi = -(66 + 36 / 60 + 18.820 / 3600)
+    lam = 140 + 4 / 60 + 17.040 / 3600
+    E, N = t(np.array([lam]), np.array([phi]))
+    assert abs(E[0] - 303169.52) < 0.05 and abs(N[0] - 244055.72) < 0.05
+    ti = get_transform("EPSG:2986", "EPSG:4326")
+    lo, la = ti(E, N)
+    assert abs(lo[0] - lam) < 1e-9 and abs(la[0] - phi) < 1e-9
+
+
+def test_polar_stereographic_south_azimuth_convention():
+    """EPSG both-aspect convention: E = FE + ρ sin(λ−λ0) — a point at
+    90°E in the south aspect has POSITIVE easting (EPSG:3031 style)."""
+    fb, ib = C.polar_stereographic("B", -71, 0, 1.0, 0, 0)
+    x, y = fb(np.array([90.0]), np.array([-75.0]))
+    assert x[0] > 0 and abs(y[0]) < 1e-6
+    lo, la = ib(*fb(np.array([135.0]), np.array([-80.0])))
+    assert abs(lo[0] - 135.0) < 1e-9 and abs(la[0] + 80.0) < 1e-9
+
+
+def test_cassini_soldner_hong_kong_1963():
+    """EPSG:3407 (Cassini-Soldner, Clarke 1858, Clarke's-foot FE/FN):
+    the natural origin maps to FE/FN converted to metres
+    (132033.92 / 62565.96 Clarke's feet)."""
+    t = get_transform("EPSG:4326", "EPSG:3407")
+    E, N = t(np.array([114.1785555555556]), np.array([22.31213333333334]))
+    ft = 0.3047972654
+    assert abs(E[0] - 132033.92 * ft) < 1e-6
+    assert abs(N[0] - 62565.96 * ft) < 1e-6
+    ti = get_transform("EPSG:3407", "EPSG:4326")
+    lo, la = ti(*t(np.array([114.25, 114.0]), np.array([22.4, 22.2])))
+    np.testing.assert_allclose(lo, [114.25, 114.0], atol=1e-9)
+    np.testing.assert_allclose(la, [22.4, 22.2], atol=1e-8)
 
 
 def test_geocentric_and_3d_info():
