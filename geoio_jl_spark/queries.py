@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1227,6 +1229,66 @@ FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
 
 
 # ---------------------------------------------------------------------------
+# Q: Lambert-93 (LCC 2SP on GRS80, the French national grid) — extends
+# oracle-checked reprojection to the conic family. Cone constants are
+# computed ONCE in Python and embedded as identical literals; per-row
+# math is the same ln/exp/tan composition in both engines (no pow),
+# mm-rounded like the Mercator oracles.
+# ---------------------------------------------------------------------------
+
+_L93 = dict(e=0.08181919104281579, n=0.7256077650532695,
+            aF=11754255.426096004, rho0=6055612.049875985,
+            lon0=3.0, fe=700000.0, fn=6600000.0)
+
+
+def q_lambert93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _L93
+    pts = _docs_points(spark, sf_dir).select(
+        "doc_id",
+        (F.col("lon_i") / 100.0 - 180.0).alias("lon"),
+        (F.col("lat_i") / 100.0 - 85.0).alias("lat"),
+    )
+    lat_c = F.least(F.greatest(F.col("lat"), F.lit(-89.9999)),
+                    F.lit(89.9999))
+    phi2 = F.radians(lat_c) / 2
+    es = F.lit(c["e"]) * F.sin(F.radians(lat_c))
+    t = (F.tan(F.lit(0.7853981633974483) - phi2)
+         * F.exp(F.lit(c["e"] / 2.0)
+                 * F.log((F.lit(1.0) + es) / (F.lit(1.0) - es))))
+    rho = F.lit(c["aF"]) * F.exp(F.lit(c["n"]) * F.log(t))
+    theta = F.lit(c["n"]) * (F.radians(F.col("lon"))
+                             - F.lit(float(np.radians(c["lon0"]))))
+    x = F.lit(c["fe"]) + rho * F.sin(theta)
+    y = F.lit(c["fn"]) + F.lit(c["rho0"]) - rho * F.cos(theta)
+    return pts.select("doc_id", F.round(x, 4).alias("lcc_x"),
+                      F.round(y, 4).alias("lcc_y"))
+
+
+def _sql_lambert93() -> str:
+    c = _L93
+    lam0 = float(np.radians(c["lon0"]))
+    return f"""
+SELECT doc_id,
+  round({c['fe']!r} + rho * sin(theta), 4) AS lcc_x,
+  round({c['fn']!r} + {c['rho0']!r} - rho * cos(theta), 4) AS lcc_y
+FROM (
+  SELECT doc_id,
+    {c['aF']!r} * exp({c['n']!r} * ln(
+      tan(0.7853981633974483 - radians(lat_c) / 2)
+      * exp({c['e'] / 2.0!r} * ln((1.0 + {c['e']!r} * sin(radians(lat_c)))
+                                  / (1.0 - {c['e']!r} * sin(radians(lat_c)))))
+    )) AS rho,
+    {c['n']!r} * (radians(lon) - {lam0!r}) AS theta
+  FROM (
+    SELECT doc_id, lon_i / 100.0 - 180.0 AS lon,
+           least(greatest(lat_i / 100.0 - 85.0, -89.9999), 89.9999) AS lat_c
+    FROM ({_ORACLE_DOCS})
+  )
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: raster warp (web-mercator → lon/lat inverse-mapping reprojection).
 # Both engines derive the same implicit grids (no input table — rasters
 # are generated, the engine's §1.3 model); window corners are computed
@@ -1349,4 +1411,5 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "gopher_repetition": (q_gopher_repetition, _sql_gopher_repetition()),
         "semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup()),
         "raster_warp": (q_raster_warp, _sql_raster_warp()),
+        "lambert93": (q_lambert93, _sql_lambert93()),
     }
