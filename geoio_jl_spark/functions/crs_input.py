@@ -49,6 +49,19 @@ def _norm(name: str) -> str:
 # WKT1 (.prj dialect) → PROJJSON normal form
 # ---------------------------------------------------------------------------
 
+def _wkt1_id(node) -> dict | None:
+    """WKT1 AUTHORITY["EPSG","27700"] → PROJJSON id object."""
+    auth = node.child("AUTHORITY")
+    if auth is None:
+        return None
+    code = auth.args[1]
+    try:
+        code = int(code)
+    except (TypeError, ValueError):
+        pass
+    return {"authority": str(auth.args[0]), "code": code}
+
+
 def _wkt1_geogcs_json(node) -> dict:
     datum = node.child("DATUM")
     sph = datum.child("SPHEROID") or datum.child("ELLIPSOID")
@@ -68,6 +81,8 @@ def _wkt1_geogcs_json(node) -> dict:
     if pm is not None and float(pm.args[1]) != 0.0:
         out["datum"]["prime_meridian"] = {
             "name": pm.args[0], "longitude": pm.args[1]}
+    if _wkt1_id(node):
+        out["id"] = _wkt1_id(node)
     return out
 
 
@@ -87,7 +102,7 @@ def _wkt1_projcs_json(node) -> dict:
                            "unit": "metre"})
         else:
             params.append({"name": name, "value": value, "unit": "degree"})
-    return {
+    out = {
         "type": "ProjectedCRS",
         "name": node.args[0],
         "base_crs": base,
@@ -97,6 +112,9 @@ def _wkt1_projcs_json(node) -> dict:
             "parameters": params,
         },
     }
+    if _wkt1_id(node):
+        out["id"] = _wkt1_id(node)
+    return out
 
 
 _LINEAR_PARAMS = {

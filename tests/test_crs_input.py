@@ -294,3 +294,11 @@ def test_shapefile_prj_passthrough_resolves(spark):
     crs = GeoSchema.from_df(df).crs
     assert crs.startswith("GEOGCS")
     assert crs_info(crs)["kind"] == "geographic"
+
+
+def test_wkt1_authority_becomes_projjson_id():
+    wkt = _WKT1_OSGB[:-1] + ',AUTHORITY["EPSG","27700"]]'
+    doc = projjson_from_any(wkt)
+    assert doc["id"] == {"authority": "EPSG", "code": 27700}
+    from geoio_jl_spark.functions.crsstrings import projjson_code
+    assert projjson_code(doc) == "EPSG:27700"

@@ -289,3 +289,84 @@ def test_complex_length_mismatch_raises():
     pack["n"] = 11
     with pytest.raises(ValueError, match="group lengths"):
         grib2._unpack_complex(data, pack)
+
+
+def make_complex_message(values_2d, la1, la2, order=None):
+    """Full edition-2 message with a REAL section 5.2/5.3 header (WMO
+    octet layout) + section 7 stream — exercises _decode_message's
+    complex-header parsing, which the unit tests above bypass."""
+    nj, ni = values_2d.shape
+    x = values_2d.astype(np.int64).ravel()
+    if order is None:
+        data, pack = _encode_complex(x, R=0.0, E=0, D=0, group_len=5)
+    else:
+        data, pack = _encode_complex_sd(x, R=0.0, E=0, D=0, order=order,
+                                        group_len=5)
+
+    s3 = bytearray(72)
+    struct.pack_into(">I", s3, 0, 72)
+    s3[4] = 3
+    struct.pack_into(">H", s3, 12, 0)
+    struct.pack_into(">I", s3, 30, ni)
+    struct.pack_into(">I", s3, 34, nj)
+    struct.pack_into(">I", s3, 46, _sm_enc(int(la1 * 1e6), 32))
+    struct.pack_into(">I", s3, 55, _sm_enc(int(la2 * 1e6), 32))
+    struct.pack_into(">I", s3, 63, int(1e6))
+    s3[71] = 0x40 if la1 < la2 else 0
+
+    s4 = bytearray(28)
+    struct.pack_into(">I", s4, 0, 28)
+    s4[4] = 4
+    s4[22] = 103
+
+    ln5 = 49 if order is not None else 47
+    s5 = bytearray(ln5)
+    struct.pack_into(">I", s5, 0, ln5)
+    s5[4] = 5
+    struct.pack_into(">I", s5, 5, ni * nj)
+    struct.pack_into(">H", s5, 9, 3 if order is not None else 2)
+    struct.pack_into(">f", s5, 11, pack["R"])
+    struct.pack_into(">H", s5, 15, pack["E"])
+    struct.pack_into(">H", s5, 17, pack["D"])
+    s5[19] = pack["nbits"]
+    s5[21] = 1                                  # general group split
+    s5[22] = 0                                  # no missing management
+    struct.pack_into(">I", s5, 31, pack["ng"])
+    s5[35] = pack["width_ref"]
+    s5[36] = pack["width_bits"]
+    struct.pack_into(">I", s5, 37, pack["len_ref"])
+    s5[41] = pack["len_inc"]
+    struct.pack_into(">I", s5, 42, pack["last_len"])
+    s5[46] = pack["len_bits"]
+    if order is not None:
+        s5[47] = pack["order"]
+        s5[48] = pack["extra_octets"]
+
+    s6 = bytearray(6)
+    struct.pack_into(">I", s6, 0, 6)
+    s6[4] = 6
+    s6[5] = 255
+
+    s7 = bytearray(5) + data
+    struct.pack_into(">I", s7, 0, len(s7))
+    s7[4] = 7
+
+    body = bytes(s3) + bytes(s4) + bytes(s5) + bytes(s6) + bytes(s7)
+    total = 16 + len(body) + 4
+    head = bytearray(16)
+    head[0:4] = b"GRIB"
+    head[7] = 2
+    struct.pack_into(">Q", head, 8, total)
+    return bytes(head) + body + b"7777"
+
+
+@pytest.mark.parametrize("order", [None, 1, 2])
+def test_complex_full_message_roundtrip(tmp_path, order):
+    rng = np.random.default_rng(9)
+    base = np.cumsum(rng.integers(0, 9, 48)).reshape(6, 8)
+    p = str(tmp_path / f"cx{order}.grib")
+    with open(p, "wb") as f:
+        f.write(make_complex_message(base, la1=0, la2=5, order=order))
+    m = grib2.read_raw(p)[0]
+    assert m["values"].shape == (6, 8)
+    np.testing.assert_array_equal(m["values"], base.astype(float))
