@@ -73,7 +73,11 @@ def connected_components(edges: DataFrame, src: str = "rep",
     prev_sig = None
     for _ in range(max_iter):
         e = _small_star(_symmetrize(_large_star(_symmetrize(e))))
-        e = e.localCheckpoint(eager=True)
+        # lazy checkpoint: the convergence aggregate below is the ONE
+        # action per round — it materializes the checkpoint as a side
+        # effect (eager=True would schedule a second job per round; at
+        # test scale rounds are pure scheduling overhead)
+        e = e.localCheckpoint(eager=False)
         row = e.agg(
             F.count("*").alias("n"),
             # xor: order-insensitive set hash, no ANSI int64 overflow
