@@ -220,10 +220,28 @@ def write(df: DataFrame, path: str, table: str = "features",
         cur.execute("INSERT INTO gpkg_geometry_columns VALUES (?,?,?,?,0,0)",
                     (table, gcol, gtype, srs_id))
         # feature table + one-transaction prepared inserts (gpkg.jl:389-434)
+        # declared SQLite types from the Spark schema — the read side
+        # types columns from PRAGMA table_info, so untyped attribute
+        # columns would come back as TEXT (caught by the gisissues
+        # cross-format mirror suite)
+        from pyspark.sql import types as T
+
+        def _decl(dt) -> str:
+            if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType,
+                               T.ByteType, T.BooleanType)):
+                return "INTEGER"
+            if isinstance(dt, (T.DoubleType, T.FloatType)):
+                return "REAL"
+            if isinstance(dt, T.BinaryType):
+                return "BLOB"
+            return "TEXT"
+
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+        ddl = ", ".join(f'"{c}" {_decl(dtypes[c])}' for c in attrs)
         cols_ddl = ", ".join(f'"{c}"' for c in attrs)
         cur.execute(
             f'CREATE TABLE "{table}" (fid INTEGER PRIMARY KEY AUTOINCREMENT'
-            + (f", {cols_ddl}" if attrs else "")
+            + (f", {ddl}" if attrs else "")
             + f', "{gcol}" BLOB)')
         placeholders = ",".join("?" * (len(attrs) + 1))
         stmt = (f'INSERT INTO "{table}" ({cols_ddl}{"," if attrs else ""}'
