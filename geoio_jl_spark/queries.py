@@ -1229,6 +1229,24 @@ FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
 
 
 # ---------------------------------------------------------------------------
+# Q: IVF ANN top-k — genuinely non-SQL-expressible (iterative Lloyd
+# k-means builds the index), so no oracle_sql entry: the driver records
+# the weaker rows-only check by design (brief: "for genuinely
+# non-SQL-expressible ops ... omit the oracle_sql entry").
+# Exactness vs brute force is covered in tests/test_similarity.py.
+# ---------------------------------------------------------------------------
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoio_jl_spark.operators.similarity import ivf_index, ivf_search
+    emb = _read(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_index(emb, k_centroids=8, n_iter=2)
+    queries = (emb.orderBy("vec_id").limit(5)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qe")))
+    return ivf_search(assigned, centroids, queries, k=5, n_probe=3)
+
+
+# ---------------------------------------------------------------------------
 # Q: Lambert-93 (LCC 2SP on GRS80, the French national grid) — extends
 # oracle-checked reprojection to the conic family. Cone constants are
 # computed ONCE in Python and embedded as identical literals; per-row
@@ -1412,4 +1430,5 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup()),
         "raster_warp": (q_raster_warp, _sql_raster_warp()),
         "lambert93": (q_lambert93, _sql_lambert93()),
+        "ivf_topk": (q_ivf_topk, None),
     }
