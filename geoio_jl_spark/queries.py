@@ -1229,6 +1229,59 @@ FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
 
 
 # ---------------------------------------------------------------------------
+# Q: batch sessionization (gap-based session windows) — the batch twin
+# of streaming/pipeline.sessionize (applyInPandasWithState): island
+# detection with one window pass (new-session flag → running sum), then
+# one aggregation. Exactly SQL-expressible → full oracle.
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 1800 * 1_000_000  # 30 min
+
+
+def q_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    new_sess = F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
+    sess = ev.withColumn(
+        "sess_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"))
+    return (sess.groupBy("user_id", "sess_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts_us").alias("start_us"),
+                 F.max("ts_us").alias("end_us")))
+
+
+def _sql_session_rollup() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_us,
+    CASE WHEN lag(ts_us) OVER w IS NULL
+           OR ts_us - lag(ts_us) OVER w > {_SESSION_GAP_US}
+         THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS sess_id
+  FROM flagged
+)
+SELECT user_id, sess_id, count(*) AS n_events,
+       min(ts_us) AS start_us, max(ts_us) AS end_us
+FROM sess GROUP BY user_id, sess_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: IVF ANN top-k — genuinely non-SQL-expressible (iterative Lloyd
 # k-means builds the index), so no oracle_sql entry: the driver records
 # the weaker rows-only check by design (brief: "for genuinely
@@ -1431,4 +1484,5 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "raster_warp": (q_raster_warp, _sql_raster_warp()),
         "lambert93": (q_lambert93, _sql_lambert93()),
         "ivf_topk": (q_ivf_topk, None),
+        "session_rollup": (q_session_rollup, _sql_session_rollup()),
     }
