@@ -35,7 +35,7 @@ HEADLINE = [
     "connected_components", "ngram_jaccard",
     "ngram_jaccard_capped", "simhash",
     "cosine_topk", "embedding_near_dup", "events_window", "events_rollup",
-    "asof_join", "bpe_tokens", "gopher_filter", "gopher_repetition",
+    "asof_join", "session_rollup", "bpe_tokens", "gopher_filter", "gopher_repetition",
     "url_canonical", "url_dup_groups", "zorder_cells",
     "mercator3395", "lambert93", "raster_warp",
 ]
