@@ -45,3 +45,31 @@ def test_only_utm_params_dropped_entirely(spark):
 def test_root_path_and_no_query(spark):
     got = _canon(spark, ["https://a.com/", "https://a.com"])
     assert got[0][0] == "https://a.com" == got[1][0]
+
+
+def test_canonicalization_idempotent_over_combinatorial_sweep(spark):
+    """canon(canon(u)) == canon(u) over the full cross product of the
+    messiness dimensions (case × www × port × trailing slash × utm mix ×
+    fragment) — the property that makes canonical forms a join key."""
+    schemes = ["https://", "HTTPS://", "http://"]
+    hosts = ["www.Ex.com", "ex.com", "SUB.ex.CO.UK"]
+    ports = ["", ":443", ":80"]
+    paths = ["/a/b", "/a/b/", ""]
+    queries = ["", "?id=1", "?utm_source=x&id=1", "?utm_a=1&utm_b=2"]
+    frags = ["", "#top"]
+    urls = [s + h + po + pa + q + f
+            for s in schemes for h in hosts for po in ports
+            for pa in paths for q in queries for f in frags]
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    once = df.select(
+        F.expr(U.canonical_url_sql("url", "spark")).alias("url"))
+    twice = once.select(
+        F.expr(U.canonical_url_sql("url", "spark")).alias("c2"))
+    a = [r["url"] for r in once.collect()]
+    b = [r["c2"] for r in twice.collect()]
+    assert a == b
+    # and the canonical form is scheme://host[/path][?q] shaped
+    import re
+    for c in a:
+        assert re.match(r"^https?://[a-z0-9.\-]+(/[^?#]*)?(\?.+)?$", c), c
+        assert "utm_" not in c and "#" not in c and ":443" not in c
