@@ -230,8 +230,10 @@ def write(df: DataFrame, path: str, table: str = "features",
             if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType,
                                T.ByteType, T.BooleanType)):
                 return "INTEGER"
-            if isinstance(dt, (T.DoubleType, T.FloatType)):
-                return "REAL"
+            if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+                return "REAL"  # SQLite has no decimal; REAL round-trips
+                               # as DoubleType (the reference's GPKG
+                               # driver makes the same narrowing)
             if isinstance(dt, T.BinaryType):
                 return "BLOB"
             return "TEXT"
