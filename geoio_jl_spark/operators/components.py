@@ -67,6 +67,11 @@ def connected_components(edges: DataFrame, src: str = "rep",
                       F.col(dst).cast("bigint").alias("v"))
          .filter(F.col("u") != F.col("v"))
          .distinct())
+    # checkpoint the input once: each round references e through several
+    # branches (symmetrize unions e with itself), which would otherwise
+    # recompute the upstream edge pipeline (e.g. the whole MinHash-LSH
+    # bucketing) once per branch; take(1) below materializes it
+    e = e.localCheckpoint(eager=False)
     if not e.take(1):
         return e.select(F.col("u").alias("node"),
                         F.col("v").alias("component"))
