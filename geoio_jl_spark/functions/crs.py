@@ -86,16 +86,21 @@ def crs_info(crs) -> dict:
                     "projection": "utm", "zone": utm[0], "south": utm[1]}
     doc = _doc_for(crs)
     if doc is not None:
-        if doc["type"] in ("GeographicCRS", "GeodeticCRS"):
-            kind = ("geocentric"
-                    if doc.get("coordinate_system", {}).get("subtype")
-                    == "Cartesian" else "geographic")
-            return {"kind": kind, "axis": "latlon", "unit": "degree",
-                    "name": doc["name"]}
-        if doc["type"] == "ProjectedCRS":
-            method = doc["conversion"]["method"]["name"]
-            return {"kind": "projected", "axis": "xy", "unit": "m",
-                    "projection": method, "name": doc["name"]}
+        # structurally incomplete PROJJSON (user dicts are accepted
+        # as-is) falls through to the cartesian tag, never a KeyError
+        try:
+            if doc["type"] in ("GeographicCRS", "GeodeticCRS"):
+                kind = ("geocentric"
+                        if doc.get("coordinate_system", {}).get("subtype")
+                        == "Cartesian" else "geographic")
+                return {"kind": kind, "axis": "latlon", "unit": "degree",
+                        "name": doc["name"]}
+            if doc["type"] == "ProjectedCRS":
+                method = doc["conversion"]["method"]["name"]
+                return {"kind": "projected", "axis": "xy", "unit": "m",
+                        "projection": method, "name": doc["name"]}
+        except (KeyError, TypeError, AttributeError):
+            pass
     return {"kind": "cartesian", "axis": "xy", "unit": "m"}
 
 
@@ -274,6 +279,10 @@ _merc_fwd, _merc_inv = mercator_projection()
 
 def _q_auth(phi, ell: Ellipsoid = WGS84):
     s = np.sin(phi)
+    if ell.e == 0.0:
+        # sphere: lim e→0 of the authalic q is 2·sin(phi) (the /(2e)
+        # term → −sin(phi)); the general form would divide by zero
+        return 2.0 * s
     return (1 - ell.e2) * (s / (1 - ell.e2 * s * s)
                            - np.log((1 - ell.e * s) / (1 + ell.e * s))
                            / (2 * ell.e))

@@ -235,9 +235,24 @@ def transform_from_projjson(doc: dict):
     k0 = _get(p, _K0, 1.0)
     fe, fn = _get(p, _FE), _get(p, _FN)
 
-    if m in ("transversemercator", "gausskruger",
-             "transversemercatorsouthorientated"):
+    if m in ("transversemercator", "gausskruger"):
         return C.tm_projection(lat0, lon0, k0, fe, fn, ell)
+    if m in ("transversemercatorsouthorientated",):
+        # EPSG method 9808: axes point WEST and SOUTH (SA Lo grids).
+        # W = FE − k0·ν·A…, S = FN − k0·(M − M0)… — i.e. the plain TM
+        # offsets NEGATED relative to the false origin (EPSG Guidance
+        # Note 7-2 §3.2.2); Lo29 (28.2E, 25.7S) → positive (W, S).
+        f0, i0 = C.tm_projection(lat0, lon0, k0, 0.0, 0.0, ell)
+
+        def fwd(lon, lat):
+            x, y = f0(lon, lat)
+            return fe - x, fn - y
+
+        def inv(w, s):
+            import numpy as np
+            return i0(fe - np.asarray(w, float), fn - np.asarray(s, float))
+
+        return fwd, inv
     if m in ("popularvisualisationpseudomercator",
              "mercatorauxiliarysphere"):
         sph = C.Ellipsoid(ell.a, 0.0)  # spherical formulas on a

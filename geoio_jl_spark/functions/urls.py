@@ -55,9 +55,16 @@ def raw_url_sql(id_expr: str, dialect: str) -> str:
 
 
 def host_sql(url: str, dialect: str) -> str:
-    """Lowercased host, default port + leading www. stripped."""
+    """Lowercased host, default port + leading www. stripped. Port
+    stripping is scheme-conditional: :443 only for https, :80 only for
+    http — 'http://host:443/x' keeps its (non-default) port."""
     hostport = f"lower(regexp_extract({url}, '^[A-Za-z]+://([^/?#]+)', 1))"
-    no_port = _re_replace(hostport, ":443$|:80$", "", dialect)
+    scheme = f"lower(regexp_extract({url}, '^([A-Za-z]+)://', 1))"
+    no_443 = _re_replace(hostport, ":443$", "", dialect)
+    no_80 = _re_replace(hostport, ":80$", "", dialect)
+    no_port = (f"CASE WHEN {scheme} = 'https' THEN {no_443} "
+               f"WHEN {scheme} = 'http' THEN {no_80} "
+               f"ELSE {hostport} END")
     return _re_replace(no_port, "^www\\.", "", dialect)
 
 

@@ -239,6 +239,10 @@ def _unpack_complex(data: bytes, pack: dict) -> np.ndarray:
             d[0] = ivals[0]
             x = np.cumsum(d)
         else:
+            if n < 2:
+                raise ValueError(
+                    "GRIB2 template 5.3 order-2 spatial differencing "
+                    f"requires >= 2 data values, message has n={n}")
             f = np.empty(n, np.int64)  # first differences
             f[0] = 0
             f[1] = ivals[1] - ivals[0]

@@ -302,3 +302,94 @@ def test_wkt1_authority_becomes_projjson_id():
     assert doc["id"] == {"authority": "EPSG", "code": 27700}
     from geoio_jl_spark.functions.crsstrings import projjson_code
     assert projjson_code(doc) == "EPSG:27700"
+
+
+def _pdoc(method, params, ellipsoid=None):
+    """Minimal hand-built ProjectedCRS PROJJSON (arbitrary-dict input
+    path — no corpus entry needed)."""
+    if ellipsoid is None:
+        ellipsoid = {"name": "WGS 84", "semi_major_axis": 6378137.0,
+                     "inverse_flattening": 298.257223563}
+    angles = ("latitude", "longitude")
+    plist = []
+    for name, value in params:
+        unit = ("degree" if any(a in name.lower() for a in angles)
+                else "metre")
+        if "scale" in name.lower():
+            unit = "unity"
+        plist.append({"name": name, "value": value, "unit": unit})
+    return {
+        "type": "ProjectedCRS", "name": "handmade",
+        "base_crs": {"type": "GeographicCRS", "name": "base",
+                     "datum": {"ellipsoid": ellipsoid}},
+        "conversion": {"method": {"name": method}, "parameters": plist},
+    }
+
+
+def test_tm_south_orientated_positive_westing_southing():
+    """EPSG method 9808 (SA Lo grids): axes point west/south, so Lo29
+    coordinates for a point WEST of the CM and SOUTH of the equator are
+    POSITIVE — the negation of plain TM about the false origin."""
+    doc = _pdoc("Transverse Mercator (South Orientated)", [
+        ("Latitude of natural origin", 0.0),
+        ("Longitude of natural origin", 29.0),
+        ("Scale factor at natural origin", 1.0),
+        ("False easting", 0.0), ("False northing", 0.0)])
+    fwd, inv = transform_from_projjson(doc)
+    w, s = fwd(np.array([28.2]), np.array([-25.7]))
+    assert w[0] > 0 and s[0] > 0
+    # exact negation of the plain-TM branch (same params, FE=FN=0)
+    tm_doc = _pdoc("Transverse Mercator", [
+        ("Latitude of natural origin", 0.0),
+        ("Longitude of natural origin", 29.0),
+        ("Scale factor at natural origin", 1.0),
+        ("False easting", 0.0), ("False northing", 0.0)])
+    tf, _ = transform_from_projjson(tm_doc)
+    x, y = tf(np.array([28.2]), np.array([-25.7]))
+    np.testing.assert_allclose(w, -x, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(s, -y, rtol=0, atol=1e-9)
+    assert abs(w[0] - 80298) < 5 and abs(s[0] - 2843842) < 5
+    # round-trip through the inverse
+    lo, la = inv(w, s)
+    np.testing.assert_allclose(lo, [28.2], atol=1e-9)
+    np.testing.assert_allclose(la, [-25.7], atol=1e-9)
+
+
+def test_laea_on_sphere_no_nan():
+    """Sphere datum (e=0, reachable via PROJJSON 'radius' or SPHEROID
+    with 1/f=0) must use the spherical authalic limit q=2·sin(phi), not
+    divide by 2e=0."""
+    R = 6371000.0
+    doc = _pdoc("Lambert Azimuthal Equal Area", [
+        ("Latitude of natural origin", 52.0),
+        ("Longitude of natural origin", 10.0),
+        ("False easting", 4321000.0), ("False northing", 3210000.0)],
+        ellipsoid={"name": "sphere", "radius": R})
+    fwd, inv = transform_from_projjson(doc)
+    x, y = fwd(np.array([10.0, 15.0, -3.0]), np.array([52.0, 47.0, 60.0]))
+    assert np.isfinite(x).all() and np.isfinite(y).all()
+    # matches Snyder's spherical oblique LAEA (24-2..24-4) closed form
+    p0, l0 = np.radians(52.0), np.radians(10.0)
+    ph, lm = np.radians([52.0, 47.0, 60.0]), np.radians([10.0, 15.0, -3.0])
+    kp = np.sqrt(2 / (1 + np.sin(p0) * np.sin(ph)
+                      + np.cos(p0) * np.cos(ph) * np.cos(lm - l0)))
+    xs = 4321000.0 + R * kp * np.cos(ph) * np.sin(lm - l0)
+    ys = 3210000.0 + R * kp * (np.cos(p0) * np.sin(ph)
+                               - np.sin(p0) * np.cos(ph) * np.cos(lm - l0))
+    np.testing.assert_allclose(x, xs, atol=1e-6)
+    np.testing.assert_allclose(y, ys, atol=1e-6)
+    lo, la = inv(x, y)
+    np.testing.assert_allclose(lo, [10.0, 15.0, -3.0], atol=1e-9)
+    np.testing.assert_allclose(la, [52.0, 47.0, 60.0], atol=1e-9)
+
+
+def test_crs_info_malformed_projjson_falls_back():
+    """Structurally incomplete documents hit the documented cartesian
+    fallback instead of raising KeyError."""
+    for bad in ({"type": "ProjectedCRS", "name": "x"},          # no conversion
+                {"type": "ProjectedCRS",
+                 "conversion": {"method": {}}},                  # no names
+                {"type": "GeographicCRS"},                       # no name
+                {"type": "GeodeticCRS", "coordinate_system": 7}):
+        info = crs_info(bad)
+        assert info["kind"] == "cartesian", bad

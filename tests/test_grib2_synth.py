@@ -370,3 +370,16 @@ def test_complex_full_message_roundtrip(tmp_path, order):
     m = grib2.read_raw(p)[0]
     assert m["values"].shape == (6, 8)
     np.testing.assert_array_equal(m["values"], base.astype(float))
+
+
+def test_order2_differencing_single_value_raises():
+    """Degenerate template-5.3 message (order-2 differencing, n=1) must
+    raise a named decode error, not IndexError (ADVICE r3)."""
+    import pytest
+    from geoio_jl_spark.sources.grib2 import _unpack_complex
+    pack = {"tmpl": 3, "n": 1, "order": 2, "extra_octets": 1,
+            "R": 0.0, "E": 0, "D": 0, "ng": 1, "nbits": 8,
+            "width_bits": 8, "width_ref": 0, "len_bits": 8,
+            "len_ref": 0, "len_inc": 1, "last_len": 1}
+    with pytest.raises(ValueError, match="order-2 spatial differencing"):
+        _unpack_complex(b"\x00" * 16, pack)

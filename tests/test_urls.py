@@ -37,6 +37,17 @@ def test_canonicalization_rules(spark):
     assert got[3] == ("https://plain.org/x", "plain.org", "plain.org")
 
 
+def test_non_default_port_kept(spark):
+    """:443 is only a default for https, :80 only for http — crossed
+    combinations are real ports and must survive canonicalization."""
+    got = _canon(spark, ["http://a.com:443/x", "https://a.com:80/x",
+                         "http://a.com:80/x", "https://a.com:443/x"])
+    assert got[0] == ("http://a.com:443/x", "a.com:443", "a.com:443")
+    assert got[1][0] == "https://a.com:80/x"
+    assert got[2][0] == "http://a.com/x"
+    assert got[3][0] == "https://a.com/x"
+
+
 def test_only_utm_params_dropped_entirely(spark):
     got = _canon(spark, ["https://a.com/p?utm_source=x&utm_medium=y"])
     assert got[0][0] == "https://a.com/p"  # no dangling '?'
@@ -68,8 +79,15 @@ def test_canonicalization_idempotent_over_combinatorial_sweep(spark):
     a = [r["url"] for r in once.collect()]
     b = [r["c2"] for r in twice.collect()]
     assert a == b
-    # and the canonical form is scheme://host[/path][?q] shaped
+    # and the canonical form is scheme://host[:port][/path][?q] shaped
     import re
     for c in a:
-        assert re.match(r"^https?://[a-z0-9.\-]+(/[^?#]*)?(\?.+)?$", c), c
-        assert "utm_" not in c and "#" not in c and ":443" not in c
+        assert re.match(
+            r"^https?://[a-z0-9.\-]+(:\d+)?(/[^?#]*)?(\?.+)?$", c), c
+        assert "utm_" not in c and "#" not in c
+        # default ports stripped only for their own scheme — a
+        # non-default port (http + :443, https + :80) is data, kept
+        if c.startswith("https://"):
+            assert ":443" not in c, c
+        if c.startswith("http://"):
+            assert ":80" not in c, c
