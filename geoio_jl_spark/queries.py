@@ -1230,29 +1230,22 @@ FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
 
 # ---------------------------------------------------------------------------
 # Q: batch sessionization (gap-based session windows) — the batch twin
-# of streaming/pipeline.sessionize (applyInPandasWithState): island
-# detection with one window pass (new-session flag → running sum), then
-# one aggregation. Exactly SQL-expressible → full oracle.
+# of streaming/pipeline.sessionize (applyInPandasWithState), routed
+# through the skew-safe operator (operators/sessionize.py: hot users
+# split into time buckets, carry-in across boundaries, renumbered).
+# hot_threshold=50 puts real sf users on the HOT path, so the plain-SQL
+# oracle verifies the bucket-stitching machinery end-to-end.
 # ---------------------------------------------------------------------------
 
 _SESSION_GAP_US = 1800 * 1_000_000  # 30 min
 
 
 def q_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoio_jl_spark.operators.sessionize import session_rollup
     ev = _read(spark, sf_dir, "events").select(
         "user_id", "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    gap = F.col("ts_us") - F.lag("ts_us").over(w)
-    new_sess = F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
-    sess = ev.withColumn(
-        "sess_id",
-        F.sum(new_sess).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"))
-    return (sess.groupBy("user_id", "sess_id")
-            .agg(F.count("*").alias("n_events"),
-                 F.min("ts_us").alias("start_us"),
-                 F.max("ts_us").alias("end_us")))
+    return session_rollup(ev, _SESSION_GAP_US, hot_threshold=50)
 
 
 def _sql_session_rollup() -> str:

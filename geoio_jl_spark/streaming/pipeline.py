@@ -128,6 +128,119 @@ def sessionize(stream: DataFrame, gap_seconds: int = 1800,
     )
 
 
+def sessionize_sharded(stream: DataFrame, gap_seconds: int = 1800,
+                       shard_seconds: int | None = None,
+                       user_col: str = "user_id", ts_col: str = "ts",
+                       use_timeout: bool = False) -> DataFrame:
+    """Skew-safe streaming sessionization — the streaming port of the
+    time-bucket machinery in operators/sessionize.py.
+
+    ``sessionize`` keys its state by the bare user, so one bot with 10⁷
+    events per micro-batch serializes into a single state partition.
+    Here stage 1 keys the stateful operator by (user, time_shard) with
+    ``shard = floor(event_us / shard_us)`` — the hot user's stream fans
+    out across shards — and emits PARTIAL sessions (maximal runs within
+    a shard).  ``stitch_partial_sessions`` merges adjacent partials
+    across shard boundaries; its input is one row per partial session
+    (≤ a handful per user-shard), so the per-user stitch is bounded no
+    matter how many raw events the user produced.
+
+    Requires ``shard_seconds >= gap_seconds`` (default 2×gap): an empty
+    intermediate shard then guarantees a session break, so only
+    consecutive-shard partials can ever merge.
+
+    Emits one row per CLOSED partial: (user_id, shard, session_start_us,
+    session_end_us, n_events).  The trailing partial of each (user,
+    shard) stays in state until the timeout closes it (same contract as
+    ``sessionize``).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if shard_seconds is None:
+        shard_seconds = 2 * gap_seconds
+    if shard_seconds < gap_seconds:
+        raise ValueError("shard_seconds must be >= gap_seconds so empty "
+                         "shards imply a session break")
+    shard_us = shard_seconds * 1_000_000
+
+    out_schema = ("user_id long, shard long, session_start_us long, "
+                  "session_end_us long, n_events long")
+    state_schema = "start_us long, end_us long, n long"
+
+    def fn(key, pdf_iter, state: GroupState):
+        user, shard = key[0], key[1]
+        cols = ["user_id", "shard", "session_start_us",
+                "session_end_us", "n_events"]
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n = state.get
+                closed.append((user, shard, s, e, n))
+                state.remove()
+            yield pd.DataFrame(closed, columns=cols)
+            return
+        cur = state.get if state.exists else None
+        events = []
+        for pdf in pdf_iter:
+            events.extend(
+                (int(t.value // 1000),) for t in pd.to_datetime(pdf[ts_col]))
+        events.sort()
+        for (us,) in events:
+            if cur is None:
+                cur = (us, us, 1)
+            elif us - cur[1] > gap_seconds * 1_000_000:
+                closed.append((user, shard, *cur))
+                cur = (us, us, 1)
+            else:
+                cur = (cur[0], us, cur[2] + 1)
+        if cur is not None:
+            state.update(cur)
+            if use_timeout:
+                state.setTimeoutDuration(gap_seconds * 1000)
+        yield pd.DataFrame(closed, columns=cols)
+
+    sharded = stream.withColumn(
+        "_shard",
+        F.floor(F.unix_micros(F.col(ts_col).cast("timestamp"))
+                / F.lit(shard_us)))
+    return (
+        sharded.groupBy(user_col, "_shard").applyInPandasWithState(
+            fn, outputStructType=out_schema, stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                         if use_timeout else GroupStateTimeout.NoTimeout))
+    )
+
+
+def stitch_partial_sessions(partials: DataFrame, gap_seconds: int = 1800,
+                            user_col: str = "user_id") -> DataFrame:
+    """Merge stage-1 partial sessions across shard boundaries (batch /
+    foreachBatch; input is one row per partial, so the per-user window
+    is bounded by the session count, not the event count).  Two partials
+    merge iff the next starts within the gap of the previous end —
+    partials within one shard are > gap apart by construction, and
+    ``shard_seconds >= gap_seconds`` makes merges possible only between
+    consecutive shards.  → (user_id, session_start_us, session_end_us,
+    n_events)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy("session_start_us")
+    gap_us = gap_seconds * 1_000_000
+    prev_end = F.lag("session_end_us").over(w)
+    new_grp = F.when(prev_end.isNull()
+                     | (F.col("session_start_us") - prev_end > gap_us),
+                     1).otherwise(0)
+    grp = F.sum(new_grp).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    return (partials.withColumn("_grp", grp)
+            .groupBy(user_col, "_grp")
+            .agg(F.min("session_start_us").alias("session_start_us"),
+                 F.max("session_end_us").alias("session_end_us"),
+                 F.sum("n_events").alias("n_events"))
+            .drop("_grp"))
+
+
 def stream_point_in_polygon(stream: DataFrame, polygons: DataFrame,
                             output_fn, res: int = 3,
                             checkpoint_dir: str | None = None,
