@@ -158,27 +158,97 @@ def _query_rects(qrows, stats: dict, k: int, e: int):
     return rects
 
 
+def collect_cell_stats(points: DataFrame, res: int,
+                       px: str = "lon_i", py: str = "lat_i") -> dict:
+    """``cell_count_stats`` collected to the driver-side dict the ring
+    planner consumes.  Compute ONCE per layout and pass to every
+    ``knn_join_pruned`` call on that table — the compute-once-per-layout
+    contract that mirrors the reference's persistent GPKG R-tree
+    (gpkg.jl:411-448)."""
+    return {(r["cx"], r["cy"]): r["n"]
+            for r in cell_count_stats(points, res, px, py).collect()}
+
+
+def _merge_rects(boxes: list, max_clauses: int) -> list:
+    """Driver-side planning: collapse per-query rectangles into at most
+    ``max_clauses`` disjoint-ish boxes for the scan-pushdown disjunction.
+    First merge every overlapping pair to a fixpoint, then greedily merge
+    the pair whose union bounding box wastes the least area until the
+    clause budget holds.  Merging only ever GROWS coverage, so the
+    pushdown stays a superset of the exact per-query rectangles
+    (correctness comes from the broadcast-join predicates downstream)."""
+    boxes = [tuple(b) for b in boxes]
+
+    def union(a, b):
+        return (min(a[0], b[0]), max(a[1], b[1]),
+                min(a[2], b[2]), max(a[3], b[3]))
+
+    def overlaps(a, b):
+        return a[0] <= b[1] and b[0] <= a[1] and a[2] <= b[3] and b[2] <= a[3]
+
+    merged = True
+    while merged:
+        merged = False
+        out: list = []
+        for b in boxes:
+            for i, a in enumerate(out):
+                if overlaps(a, b):
+                    out[i] = union(a, b)
+                    merged = True
+                    break
+            else:
+                out.append(b)
+        boxes = out
+    while len(boxes) > max_clauses:
+        best, bi, bj = None, 0, 1
+        for i in range(len(boxes)):
+            for j in range(i + 1, len(boxes)):
+                u = union(boxes[i], boxes[j])
+                waste = ((u[1] - u[0]) * (u[3] - u[2])
+                         - (boxes[i][1] - boxes[i][0])
+                         * (boxes[i][3] - boxes[i][2])
+                         - (boxes[j][1] - boxes[j][0])
+                         * (boxes[j][3] - boxes[j][2]))
+                if best is None or waste < best:
+                    best, bi, bj = waste, i, j
+        boxes[bi] = union(boxes[bi], boxes[bj])
+        del boxes[bj]
+    return boxes
+
+
 def knn_join_pruned(points: DataFrame, queries: DataFrame, k: int,
                     res: int = 3,
                     px: str = "lon_i", py: str = "lat_i",
                     qid: str = "query_id", qx: str = "qx", qy: str = "qy",
                     point_id: str = "doc_id",
-                    cell_stats: DataFrame | None = None) -> DataFrame:
+                    cell_stats: "DataFrame | dict | None" = None,
+                    max_scan_clauses: int = 32) -> DataFrame:
     """Scan-pruned exact kNN join (same rows as ``knn_join_window``).
 
-    Physical shape: one global range conjunct on (px, py) covering the
-    union of the per-query rectangles — a plain ``>=``/``<=`` filter that
+    Physical shape: a DISJUNCTION of range boxes on (px, py) covering the
+    per-query rectangles (overlapping rects merged, capped at
+    ``max_scan_clauses`` clauses) — plain ``>=``/``<=`` comparisons that
     Spark pushes into the parquet scan (PushedFilters; footer min/max
-    skipping on a Z-order-clustered layout) — then a broadcast join
-    against the <=|Q| rectangle rows with per-query range + distance-bound
-    predicates, then the usual window top-k over the surviving candidates.
-    Candidate volume is O(|Q| * k * ring-overshoot), independent of
-    |points|; nothing outside the rectangles is ever deserialized.
+    skipping on a Z-order-clustered layout).  Unlike a single global
+    bounding box, the OR-of-boxes survives dispersed query batches: two
+    query clusters on opposite sides of the world prune to two small
+    boxes instead of a union rectangle covering the whole extent.  Then a
+    broadcast join against the <=|Q| rectangle rows applies the exact
+    per-query range + distance-bound predicates, and the usual window
+    top-k ranks the survivors.  Candidate volume is
+    O(|Q| * k * ring-overshoot), independent of |points|.
+
+    ``cell_stats`` may be the DataFrame from ``cell_count_stats`` or —
+    the amortized path — the dict from ``collect_cell_stats`` (no
+    per-call Spark action at all).
     """
     spark = points.sparkSession
-    if cell_stats is None:
-        cell_stats = cell_count_stats(points, res, px, py)
-    stats = {(r["cx"], r["cy"]): r["n"] for r in cell_stats.collect()}
+    if isinstance(cell_stats, dict):
+        stats = cell_stats
+    else:
+        if cell_stats is None:
+            cell_stats = cell_count_stats(points, res, px, py)
+        stats = {(r["cx"], r["cy"]): r["n"] for r in cell_stats.collect()}
     e = dialect.cell_edge_centideg(res)
     qrows = [(r[0], r[1], r[2])
              for r in queries.select(qid, qx, qy).collect()]
@@ -192,15 +262,16 @@ def knn_join_pruned(points: DataFrame, queries: DataFrame, k: int,
     rect_df = spark.createDataFrame(
         rects, f"{qid} long, {qx} long, {qy} long, "
                "x_lo long, x_hi long, y_lo long, y_hi long, d2_max long")
-    # one global conjunct over the rect union: this is the predicate that
+    # OR-of-boxes over the (merged) rectangles: the predicate that
     # reaches the parquet scan (PushedFilters) and prunes files/row-groups
-    gx_lo = min(r[3] for r in rects)
-    gx_hi = max(r[4] for r in rects)
-    gy_lo = min(r[5] for r in rects)
-    gy_hi = max(r[6] for r in rects)
-    pruned = points.filter(
-        (F.col(px) >= gx_lo) & (F.col(px) <= gx_hi)
-        & (F.col(py) >= gy_lo) & (F.col(py) <= gy_hi))
+    boxes = _merge_rects([(r[3], r[4], r[5], r[6]) for r in rects],
+                         max_scan_clauses)
+    cond = None
+    for (xl, xh, yl, yh) in boxes:
+        c = ((F.col(px) >= xl) & (F.col(px) <= xh)
+             & (F.col(py) >= yl) & (F.col(py) <= yh))
+        cond = c if cond is None else (cond | c)
+    pruned = points.filter(cond)
     cand = pruned.join(
         F.broadcast(rect_df),
         on=[F.col(px) >= F.col("x_lo"), F.col(px) <= F.col("x_hi"),

@@ -168,3 +168,99 @@ def test_pruned_scan_is_file_pruned(spark, tmp_path):
             overlapping += 1
     assert len(files) >= 12
     assert overlapping <= max(2, len(files) // 4), (overlapping, len(files))
+
+
+def test_pruned_dispersed_batches_or_pushdown(spark, tmp_path):
+    """Two antipodal query clusters (r3 VERDICT #2): the OR-of-boxes
+    pushdown must keep file pruning alive — a single global bounding box
+    would cover the whole extent and read every file.  Asserts (1) exact
+    rows, (2) an Or filter reaches the scan, (3) footer stats show files
+    between the clusters are skipped."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from geoio_jl_spark.operators.knn import (_merge_rects, _query_rects,
+                                              collect_cell_stats)
+    from geoio_jl_spark.operators.zorder import write_spatially_clustered
+
+    pts = _points(spark, n=200_000)
+    path = str(tmp_path / "clustered_disp")
+    write_spatially_clustered(pts, path, "lon_i", "lat_i", n_files=16)
+    stored = spark.read.parquet(path)
+    # clusters at opposite corners of the extent
+    qs = spark.createDataFrame(pd.DataFrame({
+        "query_id": [0, 1, 2, 3],
+        "qx": [1200, 1450, 34500, 34800],
+        "qy": [1100, 1300, 16200, 16400]}))
+    stats = collect_cell_stats(stored, 3)
+    out = KNN.knn_join_pruned(stored, qs, k=5, cell_stats=stats)
+    ref = KNN.knn_join_window(stored, qs, k=5).collect()
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref))
+    # the scan filter is a disjunction, not one global conjunct
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "Or(" in plan
+    # merged boxes: exactly two (one per cluster), covering a tiny
+    # fraction of the extent each
+    rects = _query_rects(
+        [(r["query_id"], r["qx"], r["qy"]) for r in qs.collect()],
+        stats, 5, 400)
+    boxes = _merge_rects([(r[3], r[4], r[5], r[6]) for r in rects], 32)
+    assert len(boxes) == 2
+    # footer evidence: files overlapping ANY box << all files, and
+    # strictly fewer than the single-global-rect union would touch
+    def n_overlapping(rlist):
+        n = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = {md.schema.column(c).name: c
+                     for c in range(len(md.schema))}
+
+            def rng(col):
+                lo = min(md.row_group(g).column(names[col]).statistics.min
+                         for g in range(md.num_row_groups))
+                hi = max(md.row_group(g).column(names[col]).statistics.max
+                         for g in range(md.num_row_groups))
+                return lo, hi
+            fx_lo, fx_hi = rng("lon_i")
+            fy_lo, fy_hi = rng("lat_i")
+            if any(fx_lo <= xh and fx_hi >= xl
+                   and fy_lo <= yh and fy_hi >= yl
+                   for (xl, xh, yl, yh) in rlist):
+                n += 1
+        return n
+
+    files = glob.glob(path + "/*.parquet")
+    union_box = (min(b[0] for b in boxes), max(b[1] for b in boxes),
+                 min(b[2] for b in boxes), max(b[3] for b in boxes))
+    assert n_overlapping([union_box]) == len(files)  # global rect: no pruning
+    assert n_overlapping(boxes) <= max(4, len(files) // 3)
+
+
+def test_merge_rects_cap_and_fixpoint():
+    from geoio_jl_spark.operators.knn import _merge_rects
+    # overlapping chain collapses to one box
+    chain = [(0, 10, 0, 10), (5, 15, 5, 15), (14, 20, 14, 20)]
+    assert _merge_rects(chain, 32) == [(0, 20, 0, 20)]
+    # disjoint boxes stay separate under a generous cap
+    far = [(0, 1, 0, 1), (100, 101, 0, 1), (0, 1, 100, 101)]
+    assert sorted(_merge_rects(far, 32)) == sorted(far)
+    # cap forces greedy min-waste merging down to the budget
+    capped = _merge_rects(far, 2)
+    assert len(capped) == 2
+    # coverage only grows: every input box lies inside some output box
+    for (xl, xh, yl, yh) in far:
+        assert any(bxl <= xl and xh <= bxh and byl <= yl and yh <= byh
+                   for (bxl, bxh, byl, byh) in capped)
+
+
+def test_pruned_with_precollected_stats_dict(spark):
+    """The amortized path (stats dict, zero per-call actions) returns
+    identical rows to the per-call DataFrame path."""
+    from geoio_jl_spark.operators.knn import collect_cell_stats
+    pts = _points(spark)
+    qs = _queries(spark)
+    stats = collect_cell_stats(pts, 3)
+    a = KNN.knn_join_pruned(pts, qs, k=7, cell_stats=stats).collect()
+    b = KNN.knn_join_pruned(pts, qs, k=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
