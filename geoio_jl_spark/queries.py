@@ -545,7 +545,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     allb = sig.select(
         "doc_id", F.posexplode(band_arr).alias("band", "sig")
-    ).persist()  # the join materializes it once; both sides then reuse
+    )  # both join sides reuse one AQE shuffle stage; no cache leak
     left = allb.alias("l")
     right = allb.alias("r")
     return (
@@ -652,7 +652,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs sharing >= 2 shingles, with exact intersection / union sizes."""
     from geoio_jl_spark.operators.dedup import exploded_shingles
     docs = _read(spark, sf_dir, "documents")
-    sh = exploded_shingles(docs).distinct().persist()
+    sh = exploded_shingles(docs).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pairs = (
         sh.alias("l").join(sh.alias("r"), "sh")
