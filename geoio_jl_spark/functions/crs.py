@@ -583,6 +583,228 @@ _ROB_X_EV, _ROB_X_DV = _nat_cubic(_ROBINSON_LATS, _ROBINSON_X)
 _ROB_Y_EV, _ROB_Y_DV = _nat_cubic(_ROBINSON_LATS, _ROBINSON_Y)
 
 
+# ---------------------------------------------------------------------------
+# Oblique families (round 4: r3 VERDICT #3 — the first national grids a
+# European user feeds in; the reference reaches them through PROJ,
+# src/conversion/gi.jl:63-68).  All closed forms follow the public EPSG
+# Guidance Note 7-2 and are pinned to its worked examples in
+# tests/test_crs_input.py.
+# ---------------------------------------------------------------------------
+
+def oblique_stereographic(lat0: float, lon0: float, k0: float, fe: float,
+                          fn: float, ell: Ellipsoid = WGS84):
+    """Oblique (double) Stereographic, EPSG method 9809 — the Dutch RD
+    grid (EPSG:28992).  Conformal-sphere construction per EPSG GN7-2;
+    worked example: Amersfoort / RD New, (6E, 53N) -> (196105.283,
+    557057.739)."""
+    a, e2, e = ell.a, ell.e2, ell.e
+    p0 = np.radians(lat0)
+    l0 = np.radians(lon0)
+    rho0 = a * (1 - e2) / (1 - e2 * np.sin(p0) ** 2) ** 1.5
+    nu0 = a / np.sqrt(1 - e2 * np.sin(p0) ** 2)
+    R = np.sqrt(rho0 * nu0)
+    n = np.sqrt(1 + e2 * np.cos(p0) ** 4 / (1 - e2))
+    S1 = (1 + np.sin(p0)) / (1 - np.sin(p0))
+    S2 = (1 - e * np.sin(p0)) / (1 + e * np.sin(p0))
+    w1 = (S1 * S2 ** e) ** n
+    sx0 = (w1 - 1) / (w1 + 1)
+    c = ((n + np.sin(p0)) * (1 - sx0)) / ((n - np.sin(p0)) * (1 + sx0))
+    w2 = c * w1
+    x0 = np.arcsin((w2 - 1) / (w2 + 1))  # conformal latitude of origin
+
+    def fwd(lon, lat):
+        phi = np.radians(np.asarray(lat, float))
+        L = n * (np.radians(np.asarray(lon, float)) - l0)
+        Sa = (1 + np.sin(phi)) / (1 - np.sin(phi))
+        Sb = (1 - e * np.sin(phi)) / (1 + e * np.sin(phi))
+        w = c * (Sa * Sb ** e) ** n
+        x = np.arcsin((w - 1) / (w + 1))
+        B = 1 + np.sin(x) * np.sin(x0) + np.cos(x) * np.cos(x0) * np.cos(L)
+        E = fe + 2 * R * k0 * np.cos(x) * np.sin(L) / B
+        N = fn + 2 * R * k0 * (np.sin(x) * np.cos(x0)
+                               - np.cos(x) * np.sin(x0) * np.cos(L)) / B
+        return E, N
+
+    def inv(E, N):
+        Ep = np.asarray(E, float) - fe
+        Np = np.asarray(N, float) - fn
+        g = 2 * R * k0 * np.tan(np.pi / 4 - x0 / 2)
+        h = 4 * R * k0 * np.tan(x0) + g
+        i = np.arctan2(Ep, h + Np)
+        j = np.arctan2(Ep, g - Np) - i
+        x = x0 + 2 * np.arctan((Np - Ep * np.tan(j / 2)) / (2 * R * k0))
+        L = j + 2 * i
+        lam = L / n + l0
+        # conformal -> geodetic latitude (GN7-2 iteration on the
+        # isometric latitude)
+        psi = (np.log((1 + np.sin(x)) / (c * (1 - np.sin(x)))) / (2 * n))
+        phi = 2 * np.arctan(np.exp(psi)) - np.pi / 2
+        for _ in range(8):
+            es = e * np.sin(phi)
+            psi_i = np.log(np.tan(phi / 2 + np.pi / 4)
+                           * ((1 - es) / (1 + es)) ** (e / 2))
+            phi = phi - ((psi_i - psi) * np.cos(phi)
+                         * (1 - es * es) / (1 - e2))
+        return np.degrees(lam), np.degrees(phi)
+
+    return fwd, inv
+
+
+def hotine_oblique_mercator(latc: float, lonc: float, azc: float,
+                            gammac: float, k0: float, fe: float, fn: float,
+                            ell: Ellipsoid = WGS84, variant: str = "B"):
+    """Hotine Oblique Mercator, EPSG methods 9812 (variant A: FE/FN at
+    the natural origin) and 9815 (variant B: Ec/Nc at the projection
+    centre) — Swiss LV03/LV95 (azc = 90), RSO grids.  GN7-2 worked
+    example (Timbalai / RSO Borneo) pinned in tests; the azc=90 Swiss
+    case degenerates to arcsin(1) in the lambda0 term (clipped) and
+    uc = A(lonc - lambda0)."""
+    a, e2, e = ell.a, ell.e2, ell.e
+    pc = np.radians(latc)
+    lc = np.radians(lonc)
+    ac = np.radians(azc)
+    gc = np.radians(gammac)
+    sgn = 1.0 if latc >= 0 else -1.0
+    B = np.sqrt(1 + e2 * np.cos(pc) ** 4 / (1 - e2))
+    A = a * B * k0 * np.sqrt(1 - e2) / (1 - e2 * np.sin(pc) ** 2)
+    t0 = (np.tan(np.pi / 4 - pc / 2)
+          / ((1 - e * np.sin(pc)) / (1 + e * np.sin(pc))) ** (e / 2))
+    D = (B * np.sqrt(1 - e2)
+         / (np.cos(pc) * np.sqrt(1 - e2 * np.sin(pc) ** 2)))
+    D2 = max(D * D, 1.0)
+    Fc = D + np.sqrt(D2 - 1) * sgn
+    H = Fc * t0 ** B
+    G = (Fc - 1 / Fc) / 2
+    g0 = np.arcsin(np.sin(ac) / D)
+    if abs(azc - 90.0) < 1e-9:
+        # Swiss/Hungarian case: G*tan(g0) is analytically exactly 1
+        # (F - 1/F = 2*sqrt(D^2-1) and tan(g0) = 1/sqrt(D^2-1)); going
+        # through arcsin would lose ~3 cm to rounding at the centre
+        l0 = lc - (np.pi / 2) / B
+    else:
+        l0 = lc - np.arcsin(np.clip(G * np.tan(g0), -1.0, 1.0)) / B
+    if variant == "B":
+        if abs(azc - 90.0) < 1e-9:
+            uc = A * (lc - l0)
+        else:
+            uc = (A / B) * np.arctan2(np.sqrt(D2 - 1), np.cos(ac)) * sgn
+    else:
+        uc = 0.0
+
+    def _uv(lon, lat):
+        phi = np.radians(np.asarray(lat, float))
+        lam = np.radians(np.asarray(lon, float))
+        t = (np.tan(np.pi / 4 - phi / 2)
+             / ((1 - e * np.sin(phi)) / (1 + e * np.sin(phi))) ** (e / 2))
+        Q = H / t ** B
+        S = (Q - 1 / Q) / 2
+        T = (Q + 1 / Q) / 2
+        V = np.sin(B * (lam - l0))
+        U = (-V * np.cos(g0) + S * np.sin(g0)) / T
+        v = A * np.log((1 - U) / (1 + U)) / (2 * B)
+        u = (A * np.arctan2(S * np.cos(g0) + V * np.sin(g0),
+                            np.cos(B * (lam - l0))) / B
+             - abs(uc) * sgn)
+        return u, v
+
+    def fwd(lon, lat):
+        u, v = _uv(lon, lat)
+        E = v * np.cos(gc) + u * np.sin(gc) + fe
+        N = u * np.cos(gc) - v * np.sin(gc) + fn
+        return E, N
+
+    def inv(E, N):
+        Ep = np.asarray(E, float) - fe
+        Np = np.asarray(N, float) - fn
+        v = Ep * np.cos(gc) - Np * np.sin(gc)
+        u = Np * np.cos(gc) + Ep * np.sin(gc) + abs(uc) * sgn
+        Qp = np.exp(-B * v / A)
+        Sp = (Qp - 1 / Qp) / 2
+        Tp = (Qp + 1 / Qp) / 2
+        Vp = np.sin(B * u / A)
+        Up = (Vp * np.cos(g0) + Sp * np.sin(g0)) / Tp
+        tp = (H / np.sqrt((1 + Up) / (1 - Up))) ** (1 / B)
+        phi = np.pi / 2 - 2 * np.arctan(tp)
+        for _ in range(8):
+            es = e * np.sin(phi)
+            phi = np.pi / 2 - 2 * np.arctan(
+                tp * ((1 - es) / (1 + es)) ** (e / 2))
+        lam = l0 - np.arctan2(Sp * np.cos(g0) - Vp * np.sin(g0),
+                              np.cos(B * u / A)) / B
+        return np.degrees(lam), np.degrees(phi)
+
+    return fwd, inv
+
+
+def krovak(latc: float, lon0: float, azc: float, lat1: float, k0: float,
+           fe: float, fn: float, ell: Ellipsoid = WGS84,
+           north_orientated: bool = False):
+    """Krovak oblique conformal conic, EPSG methods 9819 (southing X,
+    westing Y) and 1041 (North Orientated: easting = -Y, northing = -X)
+    — the Czech/Slovak S-JTSK grids (EPSG:5513/5514).  ``lon0`` is
+    Greenwich-based (crs_input folds the Ferro prime meridian in).
+    GN7-2 worked example pinned in tests (U/V/T/D intermediates match
+    to 1e-9)."""
+    a, e2, e = ell.a, ell.e2, ell.e
+    pc = np.radians(latc)
+    az = np.radians(azc)
+    p1 = np.radians(lat1)
+    A_ = a * np.sqrt(1 - e2) / (1 - e2 * np.sin(pc) ** 2)
+    B_ = np.sqrt(1 + e2 * np.cos(pc) ** 4 / (1 - e2))
+    g0 = np.arcsin(np.sin(pc) / B_)
+    t0 = (np.tan(np.pi / 4 + g0 / 2)
+          * ((1 + e * np.sin(pc)) / (1 - e * np.sin(pc))) ** (e * B_ / 2)
+          / np.tan(np.pi / 4 + pc / 2) ** B_)
+    n = np.sin(p1)
+    r0 = k0 * A_ / np.tan(p1)
+    l0 = np.radians(lon0)
+    tan_p1 = np.tan(np.pi / 4 + p1 / 2)
+
+    def fwd(lon, lat):
+        phi = np.radians(np.asarray(lat, float))
+        es = e * np.sin(phi)
+        U = 2 * (np.arctan(t0 * np.tan(phi / 2 + np.pi / 4) ** B_
+                           / ((1 + es) / (1 - es)) ** (e * B_ / 2))
+                 - np.pi / 4)
+        V = B_ * (l0 - np.radians(np.asarray(lon, float)))
+        T_ = np.arcsin(np.cos(az) * np.sin(U)
+                       + np.sin(az) * np.cos(U) * np.cos(V))
+        D_ = np.arcsin(np.cos(U) * np.sin(V) / np.cos(T_))
+        th = n * D_
+        r = r0 * tan_p1 ** n / np.tan(T_ / 2 + np.pi / 4) ** n
+        Xs = r * np.cos(th)  # southing
+        Yw = r * np.sin(th)  # westing
+        if north_orientated:  # 1041: offsets on the easting/northing axes
+            return -Yw + fe, -Xs + fn
+        return Xs + fn, Yw + fe
+
+    def inv(x, y):
+        if north_orientated:
+            Xs = -(np.asarray(y, float) - fn)
+            Yw = -(np.asarray(x, float) - fe)
+        else:
+            Xs = np.asarray(x, float) - fn
+            Yw = np.asarray(y, float) - fe
+        r = np.sqrt(Xs * Xs + Yw * Yw)
+        th = np.arctan2(Yw, Xs)
+        D_ = th / n
+        T_ = 2 * (np.arctan((r0 / r) ** (1 / n) * tan_p1) - np.pi / 4)
+        U = np.arcsin(np.cos(az) * np.sin(T_)
+                      - np.sin(az) * np.cos(T_) * np.cos(D_))
+        V = np.arcsin(np.cos(T_) * np.sin(D_) / np.cos(U))
+        lam = l0 - V / B_
+        phi = U
+        for _ in range(8):
+            es = e * np.sin(phi)
+            phi = 2 * (np.arctan(np.tan(U / 2 + np.pi / 4) ** (1 / B_)
+                                 * ((1 + es) / (1 - es)) ** (e / 2)
+                                 / t0 ** (1 / B_))
+                       - np.pi / 4)
+        return np.degrees(lam), np.degrees(phi)
+
+    return fwd, inv
+
+
 def robinson_projection(lon0: float = 0.0, fe: float = 0.0, fn: float = 0.0,
                         a: float = R_WGS84):
     lam0 = np.radians(lon0)

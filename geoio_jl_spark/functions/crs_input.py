@@ -35,9 +35,11 @@ class UnsupportedProjectionError(ValueError):
     def __init__(self, method: str):
         super().__init__(
             f"projection method {method!r} has no closed-form transform "
-            f"in this engine (supported: Transverse Mercator, Mercator "
-            f"A/B, Pseudo-Mercator, LAEA, Albers, LCC 1SP/2SP, Polar "
-            f"Stereographic A/B, Robinson)")
+            f"in this engine (supported: Transverse Mercator (+South "
+            f"Orientated), Mercator A/B, Pseudo-Mercator, LAEA, Albers, "
+            f"LCC 1SP/2SP, Polar Stereographic A/B/C, Cassini-Soldner, "
+            f"Robinson, Oblique Stereographic, Hotine Oblique Mercator "
+            f"A/B, Krovak (+North Orientated))")
         self.method = method
 
 
@@ -170,7 +172,9 @@ def _params_dict(doc: dict) -> dict[str, float]:
         key = _norm(p["name"])
         kind = "length" if key in _LINEAR_PARAMS else "angle"
         if key in ("scalefactoratnaturalorigin", "scalefactor",
-                   "scalefactoronpseudostandardparallel"):
+                   "scalefactoronpseudostandardparallel",
+                   "scalefactoratprojectioncentre",
+                   "scalefactoroninitialline"):
             kind = "scale"
             out[key] = float(p["value"])
             continue
@@ -202,7 +206,12 @@ _LAT0 = ["latitudeofnaturalorigin", "latitudeoforigin",
 _LON0 = ["longitudeofnaturalorigin", "centralmeridian",
          "longitudeoffalseorigin", "longitudeofcenter",
          "longitudeofprojectioncentre", "longitudeoforigin"]
-_K0 = ["scalefactoratnaturalorigin", "scalefactor"]
+_K0 = ["scalefactoratnaturalorigin", "scalefactor",
+       "scalefactoratprojectioncentre", "scalefactoroninitialline",
+       "scalefactoronpseudostandardparallel"]
+_AZ = ["azimuthatprojectioncentre", "azimuthofinitialline", "azimuth"]
+_GAMMA = ["anglefromrectifiedtoskewgrid", "anglefromrectifiedtoskewedgrid",
+          "rectifiedgridangle"]
 _FE = ["falseeasting", "eastingatfalseorigin",
        "eastingatprojectioncentre"]
 _FN = ["falsenorthing", "northingatfalseorigin",
@@ -294,4 +303,21 @@ def transform_from_projjson(doc: dict):
         return C.cassini_soldner(lat0, lon0, fe, fn, ell)
     if m in ("robinson",):
         return C.robinson_projection(lon0, fe, fn, ell.a)
+    if m in ("obliquestereographic", "doublestereographic"):
+        return C.oblique_stereographic(lat0, lon0, k0, fe, fn, ell)
+    if m in ("hotineobliquemercatorvarianta", "hotineobliquemercator",
+             "hotineobliquemercatorvariantb", "obliquemercator",
+             "rectifiedskeworthomorphic"):
+        az = _get(p, _AZ, 90.0)
+        gamma = _get(p, _GAMMA, az)
+        variant = "A" if m == "hotineobliquemercatorvarianta" else "B"
+        return C.hotine_oblique_mercator(lat0, lon0, az, gamma, k0,
+                                         fe, fn, ell, variant)
+    if m in ("krovak", "krovaknorthorientated", "krovakeastnorth"):
+        # all real Krovak grids share the cone axis / pseudo parallel;
+        # defaults are the EPSG registry values for S-JTSK
+        az = _get(p, ["colatitudeofconeaxis"] + _AZ, 30.28813975277778)
+        lat1 = _get(p, ["latitudeofpseudostandardparallel"], 78.5)
+        return C.krovak(lat0, lon0, az, lat1, k0, fe, fn, ell,
+                        north_orientated=(m != "krovak"))
     raise UnsupportedProjectionError(method)

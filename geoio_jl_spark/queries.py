@@ -1462,6 +1462,107 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# Q: RD New (Oblique Stereographic on Bessel, the Dutch national grid)
+# — extends oracle-checked reprojection to the round-4 oblique family.
+# Conformal-sphere constants are computed ONCE in Python (same code
+# path as functions/crs.oblique_stereographic) and embedded as
+# identical literals; per-row math is the same exp/ln/trig composition
+# in both engines (no pow), 0.1mm-rounded.  Input filtered to a Europe
+# box: the double stereographic blows up toward the antipode (B → 0),
+# where rounding can no longer absorb last-ulp libm differences.
+# ---------------------------------------------------------------------------
+
+
+def _rd_consts() -> dict:
+    import math
+    a, inv_f = 6377397.155, 299.1528128  # Bessel 1841
+    f = 1.0 / inv_f
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    lat0 = 52.15616055555555
+    p0 = math.radians(lat0)
+    rho0 = a * (1 - e2) / (1 - e2 * math.sin(p0) ** 2) ** 1.5
+    nu0 = a / math.sqrt(1 - e2 * math.sin(p0) ** 2)
+    R = math.sqrt(rho0 * nu0)
+    n = math.sqrt(1 + e2 * math.cos(p0) ** 4 / (1 - e2))
+    S1 = (1 + math.sin(p0)) / (1 - math.sin(p0))
+    S2 = (1 - e * math.sin(p0)) / (1 + e * math.sin(p0))
+    w1 = (S1 * S2 ** e) ** n
+    sx0t = (w1 - 1) / (w1 + 1)
+    c = ((n + math.sin(p0)) * (1 - sx0t)) / ((n - math.sin(p0)) * (1 + sx0t))
+    w2 = c * w1
+    sx0 = (w2 - 1) / (w2 + 1)
+    return dict(e=e, n=n, c=c, tworkk=2.0 * R * 0.9999079,
+                sx0=sx0, cx0=math.sqrt(1 - sx0 * sx0),
+                l0=math.radians(5.38763888888889),
+                fe=155000.0, fn=463000.0)
+
+
+_RD = _rd_consts()
+
+
+def q_rd_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _RD
+    pts = _docs_points(spark, sf_dir).select(
+        "doc_id",
+        (F.col("lon_i") / 100.0 - 180.0).alias("lon"),
+        (F.col("lat_i") / 100.0 - 85.0).alias("lat"),
+    ).filter("lon >= -10.0 AND lon <= 30.0 AND lat >= 35.0 AND lat <= 65.0")
+    phi = F.radians(F.col("lat"))
+    sp = F.sin(phi)
+    es = F.lit(c["e"]) * sp
+    L = F.lit(c["n"]) * (F.radians(F.col("lon")) - F.lit(c["l0"]))
+    w = F.lit(c["c"]) * F.exp(F.lit(c["n"]) * F.log(
+        (F.lit(1.0) + sp) / (F.lit(1.0) - sp)
+        * F.exp(F.lit(c["e"])
+                * F.log((F.lit(1.0) - es) / (F.lit(1.0) + es)))))
+    sx = (w - F.lit(1.0)) / (w + F.lit(1.0))
+    cx = F.sqrt(F.lit(1.0) - sx * sx)
+    B = (F.lit(1.0) + sx * F.lit(c["sx0"])
+         + cx * F.lit(c["cx0"]) * F.cos(L))
+    E = F.lit(c["fe"]) + F.lit(c["tworkk"]) * cx * F.sin(L) / B
+    N = (F.lit(c["fn"]) + F.lit(c["tworkk"])
+         * (sx * F.lit(c["cx0"]) - cx * F.lit(c["sx0"]) * F.cos(L)) / B)
+    return pts.select("doc_id", F.round(E, 4).alias("rd_x"),
+                      F.round(N, 4).alias("rd_y"))
+
+
+def _sql_rd_new() -> str:
+    c = _RD
+    return f"""
+SELECT doc_id,
+  round({c['fe']!r} + {c['tworkk']!r} * cx * sin(L) / B, 4) AS rd_x,
+  round({c['fn']!r} + {c['tworkk']!r}
+        * (sx * {c['cx0']!r} - cx * {c['sx0']!r} * cos(L)) / B, 4) AS rd_y
+FROM (
+  SELECT doc_id, sx, cx, L,
+         1.0 + sx * {c['sx0']!r} + cx * {c['cx0']!r} * cos(L) AS B
+  FROM (
+    SELECT doc_id, sx, sqrt(1.0 - sx * sx) AS cx, L
+    FROM (
+      SELECT doc_id, (w - 1.0) / (w + 1.0) AS sx, L
+      FROM (
+        SELECT doc_id,
+          {c['c']!r} * exp({c['n']!r} * ln(
+            (1.0 + sin(radians(lat))) / (1.0 - sin(radians(lat)))
+            * exp({c['e']!r} * ln((1.0 - {c['e']!r} * sin(radians(lat)))
+                                  / (1.0 + {c['e']!r} * sin(radians(lat)))))
+          )) AS w,
+          {c['n']!r} * (radians(lon) - {c['l0']!r}) AS L
+        FROM (
+          SELECT doc_id, lon_i / 100.0 - 180.0 AS lon,
+                 lat_i / 100.0 - 85.0 AS lat
+          FROM ({_ORACLE_DOCS})
+        )
+        WHERE lon >= -10.0 AND lon <= 30.0 AND lat >= 35.0 AND lat <= 65.0
+      )
+    )
+  )
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: raster warp (web-mercator → lon/lat inverse-mapping reprojection).
 # Both engines derive the same implicit grids (no input table — rasters
 # are generated, the engine's §1.3 model); window corners are computed
@@ -1585,6 +1686,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup()),
         "raster_warp": (q_raster_warp, _sql_raster_warp()),
         "lambert93": (q_lambert93, _sql_lambert93()),
+        "rd_new": (q_rd_new, _sql_rd_new()),
         "ivf_topk": (q_ivf_topk, _sql_ivf_topk()),
         "session_rollup": (q_session_rollup, _sql_session_rollup()),
     }

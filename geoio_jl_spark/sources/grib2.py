@@ -111,7 +111,7 @@ def _decode_message(msg: bytes, discipline: int) -> dict:
                     "level": level}
         elif sec == 5:
             tmpl = _i(s, 9, 2)
-            if tmpl not in (0, 2, 3):
+            if tmpl not in (0, 2, 3, 41):
                 raise ValueError(f"unsupported packing template 5.{tmpl}")
             pack = {
                 "tmpl": tmpl,
@@ -147,6 +147,8 @@ def _decode_message(msg: bytes, discipline: int) -> dict:
             data = s[5:]
             if pack["tmpl"] == 0:
                 vals = _unpack_simple(data, pack)
+            elif pack["tmpl"] == 41:
+                vals = _unpack_png(data, pack)
             else:
                 vals = _unpack_complex(data, pack)
             if bitmap is not None:
@@ -254,6 +256,42 @@ def _unpack_complex(data: bytes, pack: dict) -> np.ndarray:
                 x[1] = ivals[1]
         out = x
     return (pack["R"] + out * (2.0 ** pack["E"])) * (10.0 ** -pack["D"])
+
+
+def _unpack_png(data: bytes, pack: dict) -> np.ndarray:
+    """PNG packing (template 5.41, NCEP archives): section 7 carries a
+    PNG stream of the scaled integers X — 8/16-bit grayscale for depths
+    <= 16, RGB(A) with X spread big-endian across channels for 24/32
+    (reusing the repo's own PNG codec, sources/img.py).  The reference
+    reaches this template through eccodes (src/extra/cdm.jl:5)."""
+    from geoio_jl_spark.sources.img import decode_png
+    img = decode_png(data)
+    h, w, ch = img.shape
+    nbits = pack["nbits"]
+    if nbits <= 16:
+        if ch != 1:
+            raise ValueError(
+                f"template 5.41 with {nbits} bits expects grayscale PNG, "
+                f"got {ch} channels")
+        x = img[:, :, 0].astype(np.int64)
+    elif nbits <= 24:
+        if ch != 3:
+            raise ValueError("template 5.41 with 24 bits expects RGB PNG")
+        a = img.astype(np.int64)
+        x = (a[:, :, 0] << 16) | (a[:, :, 1] << 8) | a[:, :, 2]
+    else:
+        if ch != 4:
+            raise ValueError("template 5.41 with 32 bits expects RGBA PNG")
+        a = img.astype(np.int64)
+        x = ((a[:, :, 0] << 24) | (a[:, :, 1] << 16)
+             | (a[:, :, 2] << 8) | a[:, :, 3])
+    x = x.ravel()
+    if len(x) != pack["n"]:
+        raise ValueError(
+            f"template 5.41 PNG carries {len(x)} values, header says "
+            f"{pack['n']}")
+    # WMO: Y × 10^D = R + X × 2^E  (the decimal scale divides R too)
+    return (pack["R"] + x * (2.0 ** pack["E"])) * (10.0 ** -pack["D"])
 
 
 def _unpack_simple(data: bytes, pack: dict) -> np.ndarray:

@@ -31,6 +31,10 @@ def _paeth(a, b, c):
 
 
 def decode_png(buf: bytes) -> np.ndarray:
+    """→ (h, w, ch) uint8, or uint16 for 16-bit-depth images (GRIB2
+    template 5.41 packs 9-16-bit fields as 16-bit grayscale PNG).
+    PNG filters operate on BYTES with the `left` neighbor one PIXEL
+    (bpp bytes) back, so the same defilter loops serve both depths."""
     if buf[:8] != _SIG:
         raise ValueError("not a PNG file")
     pos, idat, meta = 8, b"", None
@@ -41,16 +45,17 @@ def decode_png(buf: bytes) -> np.ndarray:
         if ctype == b"IHDR":
             w, h, depth, color, _comp, _filt, _inter = struct.unpack(
                 ">IIBBBBB", data)
-            if depth != 8:
-                raise ValueError("only 8-bit PNG supported")
-            meta = (w, h, _CHANNELS[color])
+            if depth not in (8, 16):
+                raise ValueError("only 8/16-bit PNG supported")
+            meta = (w, h, _CHANNELS[color], depth)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
             break
-    w, h, ch = meta
+    w, h, ch, depth = meta
+    bpp = ch * (depth // 8)
     raw = zlib.decompress(idat)
-    stride = w * ch
+    stride = w * bpp
     img = np.zeros((h, stride), dtype=np.uint8)
     pos = 0
     for row in range(h):
@@ -59,35 +64,45 @@ def decode_png(buf: bytes) -> np.ndarray:
         pos += 1 + stride
         prev = img[row - 1] if row else np.zeros(stride, np.uint8)
         if ft == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (int(line[i]) + int(line[i - ch])) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (int(line[i]) + int(line[i - bpp])) & 0xFF
         elif ft == 2:  # Up
             line = (line + prev) & 0xFF
         elif ft == 3:  # Average
             for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
+                left = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + ((int(left) + int(prev[i])) >> 1)) & 0xFF
         elif ft == 4:  # Paeth
             for i in range(stride):
-                left = line[i - ch] if i >= ch else np.uint8(0)
-                ul = prev[i - ch] if i >= ch else np.uint8(0)
+                left = line[i - bpp] if i >= bpp else np.uint8(0)
+                ul = prev[i - bpp] if i >= bpp else np.uint8(0)
                 line[i] = (int(line[i]) + int(_paeth(
                     np.array(left), np.array(prev[i]), np.array(ul)))) & 0xFF
         img[row] = line
+    if depth == 16:
+        return img.view(">u2").astype(np.uint16).reshape(h, w, ch)
     return img.reshape(h, w, ch)
 
 
 def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 input → 8-bit PNG; uint16 input → 16-bit (big-endian)."""
     h, w, ch = arr.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+    if arr.dtype == np.uint16:
+        depth = 16
+        raw = b"".join(b"\x00" + arr[r].astype(">u2").tobytes()
+                       for r in range(h))
+    else:
+        depth = 8
+        raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         c = struct.pack(">I", len(data)) + ctype + data
         return c + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
 
     out = _SIG
-    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+    out += chunk(b"IHDR",
+                 struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0))
     out += chunk(b"IDAT", zlib.compress(raw))
     out += chunk(b"IEND", b"")
     return out

@@ -224,9 +224,9 @@ def test_grad_angle_units():
 
 
 def test_unsupported_method_named_error():
-    with pytest.raises(UnsupportedProjectionError, match="Krovak"):
+    with pytest.raises(UnsupportedProjectionError, match="Bonne"):
         get_transform("EPSG:4326",
-                      _WKT1_OSGB.replace("Transverse_Mercator", "Krovak"))
+                      _WKT1_OSGB.replace("Transverse_Mercator", "Bonne"))
 
 
 def test_polar_stereographic_variant_c_published_example():
@@ -393,3 +393,143 @@ def test_crs_info_malformed_projjson_falls_back():
                 {"type": "GeodeticCRS", "coordinate_system": 7}):
         info = crs_info(bad)
         assert info["kind"] == "cartesian", bad
+
+
+# ---------------------------------------------------------------------------
+# Oblique families (round 4) — every expected value below is a published
+# EPSG GN7-2 worked example or a swisstopo reference coordinate.
+# ---------------------------------------------------------------------------
+
+def _dms(d, m, s):
+    return d + m / 60 + s / 3600
+
+
+def test_oblique_stereographic_rd_new_worked_example():
+    """GN7-2 example for EPSG 9809 (Amersfoort / RD New): (6E, 53N) →
+    E 196105.283, N 557057.739."""
+    t = get_transform("EPSG:4326", "EPSG:28992")
+    E, N = t(np.array([6.0]), np.array([53.0]))
+    assert abs(E[0] - 196105.283) < 2e-3
+    assert abs(N[0] - 557057.739) < 2e-3
+    ti = get_transform("EPSG:28992", "EPSG:4326")
+    lo, la = ti(E, N)
+    np.testing.assert_allclose(lo, [6.0], atol=1e-9)
+    np.testing.assert_allclose(la, [53.0], atol=1e-9)
+    info = crs_info("EPSG:28992")
+    assert info["projection"] == "Oblique Stereographic"
+
+
+def test_hotine_oblique_mercator_timbalai_worked_example():
+    """GN7-2 example for EPSG 9815 (Timbalai 1948 / RSO Borneo):
+    5°23'14.1129\"N 115°48'19.8196\"E → E 679245.73, N 596562.78 with
+    Ec=590476.87, Nc=442857.65 — and the variant-A form with FE=FN=0
+    (the guidance's companion example) gives the same coordinates."""
+    from geoio_jl_spark.functions.crs import (Ellipsoid,
+                                              hotine_oblique_mercator)
+    ev = Ellipsoid(6377298.556, 300.8017)  # Everest 1830 (1967 def)
+    lon = np.array([_dms(115, 48, 19.8196)])
+    lat = np.array([_dms(5, 23, 14.1129)])
+    for variant, fe, fn in (("B", 590476.87, 442857.65), ("A", 0.0, 0.0)):
+        fwd, inv = hotine_oblique_mercator(
+            4.0, 115.0, _dms(53, 18, 56.9537), _dms(53, 7, 48.3685),
+            0.99984, fe, fn, ev, variant)
+        E, N = fwd(lon, lat)
+        assert abs(E[0] - 679245.73) < 0.01, variant
+        assert abs(N[0] - 596562.78) < 0.01, variant
+        lo, la = inv(E, N)
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, lat, atol=1e-9)
+
+
+def test_swiss_lv95_lv03():
+    """Swiss grids = HOM variant B with azimuth 90 (the arcsin(1)
+    degenerate case): the projection centre maps exactly to the false
+    origin, and the swisstopo Rigi reference point reproduces to cm."""
+    t95 = get_transform("EPSG:4326", "EPSG:2056")
+    lonB, latB = _dms(7, 26, 22.50), _dms(46, 57, 8.66)
+    E, N = t95(np.array([lonB]), np.array([latB]))
+    assert abs(E[0] - 2600000.0) < 1e-6 and abs(N[0] - 1200000.0) < 1e-6
+    t03 = get_transform("EPSG:4326", "EPSG:21781")
+    rigi_lon = _dms(8, 29, 11.11127154)
+    rigi_lat = _dms(47, 3, 28.95659233)
+    E, N = t03(np.array([rigi_lon]), np.array([rigi_lat]))
+    assert abs(E[0] - 679520.05) < 0.02
+    assert abs(N[0] - 212273.44) < 0.02
+    # round-trip both grids over a Swiss lon/lat grid
+    lo = np.linspace(6.0, 10.4, 23)
+    la = np.linspace(45.9, 47.7, 23)
+    for code in ("EPSG:2056", "EPSG:21781"):
+        f = get_transform("EPSG:4326", code)
+        i = get_transform(code, "EPSG:4326")
+        lo2, la2 = i(*f(lo, la))
+        np.testing.assert_allclose(lo2, lo, atol=1e-9)
+        np.testing.assert_allclose(la2, la, atol=1e-9)
+
+
+def test_krovak_worked_example():
+    """GN7-2 example for EPSG 9819 (S-JTSK / Krovak): 50°12'32.4416\"N
+    16°50'59.1790\"E (Greenwich) → Southing 1050538.643, Westing
+    568990.997; EPSG:5514 (North Orientated) negates both onto
+    east/north axes."""
+    from geoio_jl_spark.functions.crs import Ellipsoid, krovak
+    bessel = Ellipsoid(6377397.155, 299.15281)
+    fwd, inv = krovak(49.5, _dms(24, 50, 0), _dms(30, 17, 17.3031),
+                      78.5, 0.9999, 0.0, 0.0, bessel)
+    lon = np.array([_dms(16, 50, 59.1790)])
+    lat = np.array([_dms(50, 12, 32.4416)])
+    X, Y = fwd(lon, lat)
+    assert abs(X[0] - 1050538.643) < 5e-3
+    assert abs(Y[0] - 568990.997) < 5e-3
+    lo, la = inv(X, Y)
+    np.testing.assert_allclose(lo, lon, atol=1e-9)
+    np.testing.assert_allclose(la, lat, atol=1e-9)
+    # 5514 East-North: same magnitudes, negative east/north
+    t = get_transform("EPSG:4326", "EPSG:5514")
+    E, N = t(lon, lat)
+    # corpus carries the registry co-latitude (30°17'17.30311") vs the
+    # worked example's 17.3031" — sub-mm apart
+    assert abs(E[0] + Y[0]) < 1e-3 and abs(N[0] + X[0]) < 1e-3
+    ti = get_transform("EPSG:5514", "EPSG:4326")
+    lo2, la2 = ti(E, N)
+    np.testing.assert_allclose(lo2, lon, atol=1e-9)
+    np.testing.assert_allclose(la2, la, atol=1e-9)
+    assert crs_info("EPSG:5514")["projection"] == "Krovak (North Orientated)"
+
+
+def test_oblique_round_trips_wide_grid():
+    """Round-trip stability across each grid's national extent."""
+    cases = {
+        "EPSG:28992": (np.linspace(3.4, 7.2, 17), np.linspace(50.7, 53.6, 17)),
+        "EPSG:5514": (np.linspace(12.1, 22.5, 17), np.linspace(47.7, 51.1, 17)),
+    }
+    for code, (lo, la) in cases.items():
+        f = get_transform("EPSG:4326", code)
+        i = get_transform(code, "EPSG:4326")
+        lo2, la2 = i(*f(lo, la))
+        np.testing.assert_allclose(lo2, lo, atol=1e-9, err_msg=code)
+        np.testing.assert_allclose(la2, la, atol=1e-9, err_msg=code)
+
+
+def test_rd_new_query_matches_numpy_transform(spark, sf_dir):
+    """The literal-embedded SQL/Column formula in q_rd_new must agree
+    with the numpy oblique_stereographic implementation (catches
+    transcription errors the engine-parity oracle cannot see)."""
+    from geoio_jl_spark import queries as Q
+    from geoio_jl_spark.functions.crs import Ellipsoid, oblique_stereographic
+    rows = Q.q_rd_new(spark, sf_dir).collect()
+    assert len(rows) > 0
+    pts = Q._docs_points(spark, sf_dir).selectExpr(
+        "doc_id", "lon_i / 100.0 - 180.0 AS lon",
+        "lat_i / 100.0 - 85.0 AS lat").filter(
+        "lon >= -10.0 AND lon <= 30.0 AND lat >= 35.0 AND lat <= 65.0"
+    ).collect()
+    fwd, _ = oblique_stereographic(
+        52.15616055555555, 5.38763888888889, 0.9999079,
+        155000.0, 463000.0, Ellipsoid(6377397.155, 299.1528128))
+    lon = np.array([r["lon"] for r in pts])
+    lat = np.array([r["lat"] for r in pts])
+    E, N = fwd(lon, lat)
+    by_id = {r["doc_id"]: (r["rd_x"], r["rd_y"]) for r in rows}
+    for i, r in enumerate(pts):
+        x, y = by_id[r["doc_id"]]
+        assert abs(x - E[i]) < 1e-3 and abs(y - N[i]) < 1e-3, r["doc_id"]

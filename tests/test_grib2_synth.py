@@ -383,3 +383,100 @@ def test_order2_differencing_single_value_raises():
             "len_ref": 0, "len_inc": 1, "last_len": 1}
     with pytest.raises(ValueError, match="order-2 spatial differencing"):
         _unpack_complex(b"\x00" * 16, pack)
+
+
+# ---------------------------------------------------------------------------
+# Template 5.41 (PNG packing) — r3 VERDICT #5.  The PNG stream in the
+# test is built by an INDEPENDENT minimal writer (filter-0 rows + zlib),
+# not the repo codec, so decode errors cannot self-cancel.
+# ---------------------------------------------------------------------------
+
+def _png_independent(x2d: np.ndarray, nbits: int) -> bytes:
+    import zlib
+    h, w = x2d.shape
+    if nbits <= 8:
+        depth, color, ch = 8, 0, 1
+        pix = x2d.astype(">u1").reshape(h, w, 1)
+    elif nbits <= 16:
+        depth, color, ch = 16, 0, 1
+        pix = x2d.astype(">u2").reshape(h, w, 1)
+    else:
+        depth, color, ch = 8, 2, 3
+        pix = np.stack([(x2d >> 16) & 0xFF, (x2d >> 8) & 0xFF,
+                        x2d & 0xFF], axis=2).astype(">u1")
+    raw = b"".join(b"\x00" + pix[r].tobytes() for r in range(h))
+
+    def chunk(ctype, data):
+        c = struct.pack(">I", len(data)) + ctype + data
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return c + struct.pack(">I", crc)
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth,
+                                         color, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def make_message_png(x2d, R, E, D, nbits, la1=0, la2=2, lo1=0, di=1,
+                     scan=0):
+    """Edition-2 message with data representation template 5.41."""
+    nj, ni = x2d.shape
+    base = make_message(np.zeros((nj, ni)), la1, la2, lo1, di, scan)
+    # rebuild sections 5 and 7 (base: 16B header + s3(72) + s4(28) + ...)
+    off5 = 16 + 72 + 28
+    s5 = bytearray(21)
+    struct.pack_into(">I", s5, 0, 21)
+    s5[4] = 5
+    struct.pack_into(">I", s5, 5, ni * nj)
+    struct.pack_into(">H", s5, 9, 41)          # packing template 5.41
+    struct.pack_into(">f", s5, 11, R)
+    struct.pack_into(">H", s5, 15, _sm_enc(E, 16))
+    struct.pack_into(">H", s5, 17, _sm_enc(D, 16))
+    s5[19] = nbits
+    s6 = base[off5 + 21: off5 + 21 + 6]
+    png = _png_independent(x2d, nbits)
+    s7 = bytearray(5) + png
+    struct.pack_into(">I", s7, 0, len(s7))
+    s7[4] = 7
+    body = base[16:off5] + bytes(s5) + bytes(s6) + bytes(s7)
+    total = 16 + len(body) + 4
+    head = bytearray(base[:16])
+    struct.pack_into(">Q", head, 8, total)
+    return bytes(head) + body + b"7777"
+
+
+@pytest.mark.parametrize("nbits,hi", [(8, 255), (12, 4000), (16, 65000),
+                                      (24, 12_000_000)])
+def test_png_packing_roundtrip(nbits, hi, tmp_path):
+    rng = np.random.default_rng(nbits)
+    x = rng.integers(0, hi + 1, (3, 4)).astype(np.int64)
+    R, E, D = 1.5, -1, 2
+    p = str(tmp_path / f"png{nbits}.grib")
+    with open(p, "wb") as f:
+        f.write(make_message_png(x, R, E, D, nbits))
+    m = grib2.read_raw(p)[0]
+    expect = (np.float32(R) + x * 2.0 ** E) * 10.0 ** -D
+    np.testing.assert_array_equal(m["values"], expect.reshape(3, 4))
+
+
+def test_png_packing_channel_mismatch_raises(tmp_path):
+    """24-bit header over a grayscale stream must raise, not misread."""
+    x = np.arange(12).reshape(3, 4).astype(np.int64)
+    msg = bytearray(make_message_png(x, 0.0, 0, 0, 8))
+    off5 = 16 + 72 + 28
+    msg[off5 + 19] = 24  # lie about the depth
+    p = str(tmp_path / "bad.grib")
+    with open(p, "wb") as f:
+        f.write(bytes(msg))
+    with pytest.raises(ValueError, match="expects RGB"):
+        grib2.read_raw(p)
+
+
+def test_png_16bit_codec_roundtrip():
+    """The repo PNG codec round-trips 16-bit grayscale (the decode side
+    template 5.41 relies on)."""
+    from geoio_jl_spark.sources.img import decode_png, encode_png
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 65536, (5, 7, 1)).astype(np.uint16)
+    assert (decode_png(encode_png(img)) == img).all()
