@@ -216,7 +216,7 @@ def _merge_rects(boxes: list, max_clauses: int) -> list:
     return boxes
 
 
-def knn_join_pruned(points: DataFrame, queries: DataFrame, k: int,
+def knn_join_pruned(points: DataFrame, queries: "DataFrame | list", k: int,
                     res: int = 3,
                     px: str = "lon_i", py: str = "lat_i",
                     qid: str = "query_id", qx: str = "qx", qy: str = "qy",
@@ -250,8 +250,14 @@ def knn_join_pruned(points: DataFrame, queries: DataFrame, k: int,
             cell_stats = cell_count_stats(points, res, px, py)
         stats = {(r["cx"], r["cy"]): r["n"] for r in cell_stats.collect()}
     e = dialect.cell_edge_centideg(res)
-    qrows = [(r[0], r[1], r[2])
-             for r in queries.select(qid, qx, qy).collect()]
+    if isinstance(queries, list):
+        # amortized path: pre-collected (id, x, y) tuples — the query
+        # batch is driver-side by contract, so repeated calls pay zero
+        # Spark actions for planning
+        qrows = [(int(q), int(x), int(y)) for (q, x, y) in queries]
+    else:
+        qrows = [(r[0], r[1], r[2])
+                 for r in queries.select(qid, qx, qy).collect()]
     rects = _query_rects(qrows, stats, k, e)
     if not rects:
         return (points.select(point_id).limit(0)
