@@ -68,3 +68,37 @@ def test_warp_rotated_affine(spark):
     got = {(r["i"], r["j"]): r["v"] for r in out.collect()}
     assert all(got[(i, j)] == i * 1000 + j
                for i in range(9) for j in range(9))
+
+
+def test_warp_to_oblique_crs(spark):
+    """Round-4 integration: the generic warp path reaches the new
+    oblique families through get_transform — warp a lon/lat grid over
+    the Netherlands onto an RD New (EPSG:28992) grid and verify each
+    destination cell fetched the source cell its inverse-projected
+    center lands in."""
+    import numpy as np
+    from geoio_jl_spark.functions.crs import get_transform
+    from geoio_jl_spark.operators.raster import (GridSpec, grid_cells,
+                                                 warp_to_crs)
+    # source: 0.1-degree lon/lat grid over NL (4.0..7.0 E, 51.0..53.5 N)
+    src = GridSpec(nx=30, ny=25, A=((0.1, 0.0), (0.0, 0.1)),
+                   b=(4.05, 51.05), crs="EPSG:4326")
+    vals = grid_cells(spark, src).select(
+        "i", "j", (F.col("i") * 1000 + F.col("j")).alias("v"))
+    # destination: 10 km RD New grid covering the same area
+    dst = GridSpec(nx=22, ny=28, A=((10000.0, 0.0), (0.0, 10000.0)),
+                   b=(30000.0, 300000.0), crs="EPSG:28992")
+    out = warp_to_crs(vals, src, dst, ["v"]).collect()
+    assert len(out) == 22 * 28
+    inv = get_transform("EPSG:28992", "EPSG:4326")
+    hits = 0
+    for r in out:
+        lon, lat = inv(np.array([r["x"]]), np.array([r["y"]]))
+        si = round((lon[0] - 4.05) / 0.1)
+        sj = round((lat[0] - 51.05) / 0.1)
+        if 0 <= si < 30 and 0 <= sj < 25:
+            assert r["mask"] == 1 and r["v"] == si * 1000 + sj, r
+            hits += 1
+        else:
+            assert r["mask"] == 0, r
+    assert hits > 100  # the NL box genuinely overlaps the RD grid
