@@ -166,11 +166,15 @@ def run_scaling() -> None:
     lo = int(os.environ.get("GEOIO_SCALE_LO", "1"))
     hi = 4 * lo
     rounds = int(os.environ.get("GEOIO_SCALE_ROUNDS", "4"))
-    # 8M docs so per-level compute dwarfs fixed job overhead (the fused
-    # extraction kernel made 2M too fast at the high level)
-    pages = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "bench_data", "webpages_8m.parquet")
-    ensure_pages(8_000_000, pages)
+    # 16M docs so per-level compute dwarfs fixed job overhead (2M was
+    # too fast at the high level after the fused kernel; at 8M the
+    # ~2-3s per-job fixed cost still ate ~4 points of efficiency at the
+    # 4-core level — the 100-TB regime this proxies has no such tail)
+    n_docs_target = int(os.environ.get("GEOIO_SCALE_DOCS", "16000000"))
+    pages = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_data",
+        f"webpages_{n_docs_target // 1_000_000}m.parquet")
+    ensure_pages(n_docs_target, pages)
     probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "tools", "scaling_probe.py")
     times: dict[int, list[float]] = {lo: [], hi: []}

@@ -211,7 +211,7 @@ _K0 = ["scalefactoratnaturalorigin", "scalefactor",
        "scalefactoronpseudostandardparallel"]
 _AZ = ["azimuthatprojectioncentre", "azimuthofinitialline", "azimuth"]
 _GAMMA = ["anglefromrectifiedtoskewgrid", "anglefromrectifiedtoskewedgrid",
-          "rectifiedgridangle"]
+          "rectifiedgridangle", "xyplanerotation"]
 _FE = ["falseeasting", "eastingatfalseorigin",
        "eastingatprojectioncentre"]
 _FN = ["falsenorthing", "northingatfalseorigin",
@@ -307,17 +307,28 @@ def transform_from_projjson(doc: dict):
         return C.oblique_stereographic(lat0, lon0, k0, fe, fn, ell)
     if m in ("hotineobliquemercatorvarianta", "hotineobliquemercator",
              "hotineobliquemercatorvariantb", "obliquemercator",
-             "rectifiedskeworthomorphic"):
+             "rectifiedskeworthomorphic",
+             # ESRI WKT1 spellings: "natural origin" = variant A
+             # (FE/FN at the natural origin), "azimuth center" = B
+             "hotineobliquemercatorazimuthnaturalorigin",
+             "rectifiedskeworthomorphicnaturalorigin",
+             "hotineobliquemercatorazimuthcenter",
+             "rectifiedskeworthomorphiccenter"):
         az = _get(p, _AZ, 90.0)
         gamma = _get(p, _GAMMA, az)
-        variant = "A" if m == "hotineobliquemercatorvarianta" else "B"
+        variant = ("A" if m in ("hotineobliquemercatorvarianta",
+                                "hotineobliquemercatorazimuthnaturalorigin",
+                                "rectifiedskeworthomorphicnaturalorigin")
+                   else "B")
         return C.hotine_oblique_mercator(lat0, lon0, az, gamma, k0,
                                          fe, fn, ell, variant)
     if m in ("krovak", "krovaknorthorientated", "krovakeastnorth"):
         # all real Krovak grids share the cone axis / pseudo parallel;
-        # defaults are the EPSG registry values for S-JTSK
+        # defaults are the EPSG registry values for S-JTSK.  ESRI WKT1
+        # spells the parallel "Pseudo_Standard_Parallel_1".
         az = _get(p, ["colatitudeofconeaxis"] + _AZ, 30.28813975277778)
-        lat1 = _get(p, ["latitudeofpseudostandardparallel"], 78.5)
+        lat1 = _get(p, ["latitudeofpseudostandardparallel",
+                        "pseudostandardparallel1"], 78.5)
         return C.krovak(lat0, lon0, az, lat1, k0, fe, fn, ell,
                         north_orientated=(m != "krovak"))
     raise UnsupportedProjectionError(method)

@@ -533,3 +533,47 @@ def test_rd_new_query_matches_numpy_transform(spark, sf_dir):
     for i, r in enumerate(pts):
         x, y = by_id[r["doc_id"]]
         assert abs(x - E[i]) < 1e-3 and abs(y - N[i]) < 1e-3, r["doc_id"]
+
+
+def test_esri_wkt1_oblique_spellings():
+    """ESRI .prj dialect: Hotine_Oblique_Mercator_Azimuth_Natural_Origin
+    (variant A) / _Azimuth_Center (variant B) and Krovak with
+    Pseudo_Standard_Parallel_1 dispatch onto the same closed forms as
+    the EPSG method names."""
+    rd = (
+        'PROJCS["RSO_Test",GEOGCS["GCS_T",'
+        'DATUM["D_T",SPHEROID["Everest",6377298.556,300.8017]],'
+        'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"],'
+        'PARAMETER["False_Easting",590476.87],'
+        'PARAMETER["False_Northing",442857.65],'
+        'PARAMETER["Latitude_Of_Center",4.0],'
+        'PARAMETER["Longitude_Of_Center",115.0],'
+        'PARAMETER["Azimuth",53.315820472222224],'
+        'PARAMETER["XY_Plane_Rotation",53.13010236111111],'
+        'PARAMETER["Scale_Factor",0.99984],UNIT["Meter",1.0]]')
+    # ESRI center form: XY_Plane_Rotation carries the rectified-grid
+    # angle, so the Timbalai worked example reproduces to cm
+    t = get_transform("EPSG:4326", rd)
+    E, N = t(np.array([_dms(115, 48, 19.8196)]),
+             np.array([_dms(5, 23, 14.1129)]))
+    assert abs(E[0] - 679245.73) < 0.02
+    assert abs(N[0] - 596562.78) < 0.02
+    krovak_prj = (
+        'PROJCS["S-JTSK_Krovak_East_North",GEOGCS["GCS_S_JTSK",'
+        'DATUM["D_S_JTSK",SPHEROID["Bessel_1841",6377397.155,299.1528128]],'
+        'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Krovak"],'
+        'PARAMETER["False_Easting",0.0],'
+        'PARAMETER["False_Northing",0.0],'
+        'PARAMETER["Pseudo_Standard_Parallel_1",78.5],'
+        'PARAMETER["Scale_Factor",0.9999],'
+        'PARAMETER["Azimuth",30.28813975277778],'
+        'PARAMETER["Longitude_Of_Center",24.833333333333332],'
+        'PARAMETER["Latitude_Of_Center",49.5],UNIT["Meter",1.0]]')
+    tk = get_transform("EPSG:4326", krovak_prj)
+    X, Y = tk(np.array([_dms(16, 50, 59.1790)]),
+              np.array([_dms(50, 12, 32.4416)]))
+    # ESRI "Krovak" = EPSG 9819 axes (southing, westing)
+    assert abs(X[0] - 1050538.643) < 1e-2
+    assert abs(Y[0] - 568990.997) < 1e-2
