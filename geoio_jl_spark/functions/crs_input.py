@@ -303,6 +303,13 @@ def transform_from_projjson(doc: dict):
         return C.cassini_soldner(lat0, lon0, fe, fn, ell)
     if m in ("robinson",):
         return C.robinson_projection(lon0, fe, fn, ell.a)
+    if m in ("equidistantcylindrical", "equirectangular"):
+        return C.equidistant_cylindrical(
+            _get(p, _LAT1 + _LATTS, lat0), lon0, fe, fn, ell)
+    if m in ("equidistantcylindricalspherical", "platecarree"):
+        return C.equidistant_cylindrical(
+            _get(p, _LAT1 + _LATTS, lat0), lon0, fe, fn, ell,
+            spherical=True)
     if m in ("obliquestereographic", "doublestereographic"):
         return C.oblique_stereographic(lat0, lon0, k0, fe, fn, ell)
     if m in ("hotineobliquemercatorvarianta", "hotineobliquemercator",

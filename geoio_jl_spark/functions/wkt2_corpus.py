@@ -331,6 +331,13 @@ _PROJ_WKT = {
          _param_scale("Scale factor at projection centre", 1, 8815),
          _param_m("Easting at projection centre", 600000, 8816),
          _param_m("Northing at projection centre", 200000, 8817)], 21781),
+    4087: _proj(
+        "WGS 84 / World Equidistant Cylindrical", 4326,
+        "World Equidistant Cylindrical", "Equidistant Cylindrical", 1028,
+        [_param_deg("Latitude of 1st standard parallel", 0, 8823),
+         _param_deg("Longitude of natural origin", 0, 8802),
+         _param_m("False easting", 0, 8806),
+         _param_m("False northing", 0, 8807)], 4087),
     28992: _proj(
         "Amersfoort / RD New", 4289, "RD New",
         "Oblique Stereographic", 9809,

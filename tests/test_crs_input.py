@@ -577,3 +577,28 @@ def test_esri_wkt1_oblique_spellings():
     # ESRI "Krovak" = EPSG 9819 axes (southing, westing)
     assert abs(X[0] - 1050538.643) < 1e-2
     assert abs(Y[0] - 568990.997) < 1e-2
+
+
+def test_equidistant_cylindrical_worked_example():
+    """GN7-2 example for EPSG 1028 (WGS 84 / World Equidistant
+    Cylindrical, EPSG:4087): (10E, 55N) → E 1113194.91, N 6097230.31."""
+    t = get_transform("EPSG:4326", "EPSG:4087")
+    E, N = t(np.array([10.0]), np.array([55.0]))
+    assert abs(E[0] - 1113194.91) < 0.01
+    assert abs(N[0] - 6097230.31) < 0.01
+    ti = get_transform("EPSG:4087", "EPSG:4326")
+    lo = np.linspace(-179, 179, 19)
+    la = np.linspace(-85, 85, 19)
+    lo2, la2 = ti(*t(lo, la))
+    np.testing.assert_allclose(lo2, lo, atol=1e-9)
+    np.testing.assert_allclose(la2, la, atol=1e-8)
+    # spherical variant (Plate Carree): y is linear in latitude
+    from geoio_jl_spark.functions.crs import equidistant_cylindrical
+    fwd, inv = equidistant_cylindrical(30.0, 10.0, 0, 0, spherical=True)
+    x, y = fwd(np.array([20.0]), np.array([45.0]))
+    import math
+    R = 6378137.0
+    assert abs(x[0] - R * math.cos(math.radians(30)) * math.radians(10)) < 1e-6
+    assert abs(y[0] - R * math.radians(45)) < 1e-6
+    lo3, la3 = inv(x, y)
+    assert abs(lo3[0] - 20.0) < 1e-12 and abs(la3[0] - 45.0) < 1e-12
