@@ -193,12 +193,21 @@ def write(df: DataFrame, path: str, table: str = "features",
             srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY,
             organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL,
             definition TEXT NOT NULL, description TEXT)""")
+        # real WKT2 definition when the corpus knows the code (the GPKG
+        # spec wants a definition; readers without the corpus still get
+        # the EPSG org+code pair)
+        defn = "undefined"
+        try:
+            from geoio_jl_spark.functions.wkt2_corpus import wkt2_for
+            defn = wkt2_for(srs_id)
+        except Exception:
+            pass
         cur.executemany(
             "INSERT OR IGNORE INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,?)",
             [  # required defaults (gpkg.jl:259-300)
                 ("Undefined cartesian SRS", -1, "NONE", -1, "undefined", None),
                 ("Undefined geographic SRS", 0, "NONE", 0, "undefined", None),
-                (f"EPSG:{srs_id}", srs_id, "EPSG", srs_id, "undefined", None),
+                (f"EPSG:{srs_id}", srs_id, "EPSG", srs_id, defn, None),
             ])
         cur.execute("""CREATE TABLE IF NOT EXISTS gpkg_contents (
             table_name TEXT NOT NULL PRIMARY KEY, data_type TEXT NOT NULL,

@@ -122,3 +122,36 @@ def test_geometry_declared_type_not_mistyped_as_int(spark, tmp_path):
     back = gpkg.read(spark, path)
     assert back.count() == 5
     assert dict(back.dtypes)["alt_geom"] == "binary"
+
+
+def test_gpkg_oblique_srs_roundtrip(spark, tmp_path):
+    """Round-4 integration: writing with an oblique national-grid code
+    (EPSG:28992) stores the real WKT2 definition from the corpus, and
+    the read side resolves it back through crs_info to the projection
+    family."""
+    import sqlite3
+
+    import pandas as pd
+
+    from geoio_jl_spark.functions.crs import crs_info
+
+    pdf = pd.DataFrame({
+        "name": ["a", "b"],
+        "geom": [W.encode_wkb(W.point(155000.0, 463000.0)),
+                 W.encode_wkb(W.point(196105.283, 557057.739))]})
+    df = spark.createDataFrame(pdf)
+    p = str(tmp_path / "rd.gpkg")
+    gpkg.write(df, p, table="pts", srs_id=28992, geometry_column="geom")
+    con = sqlite3.connect(p)
+    defn, = con.execute(
+        "SELECT definition FROM gpkg_spatial_ref_sys WHERE srs_id=28992"
+    ).fetchone()
+    con.close()
+    assert defn.startswith('PROJCRS["Amersfoort / RD New"')
+    info = crs_info(defn)
+    assert info["kind"] == "projected"
+    assert info["projection"] == "Oblique Stereographic"
+    back = gpkg.read(spark, p)
+    assert back.count() == 2
+    from geoio_jl_spark.geoschema import GeoSchema
+    assert GeoSchema.from_df(back).crs == "EPSG:28992"
