@@ -649,6 +649,74 @@ def equidistant_cylindrical(lat1: float, lon0: float, fe: float, fn: float,
     return fwd, inv
 
 
+def _meridian_arc_deriv(phi, ell: Ellipsoid):
+    """d(meridian arc)/d(phi) / a — derivative of Snyder 3-21."""
+    e2 = ell.e2
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    return ((1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256)
+            - 2 * (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024)
+            * np.cos(2 * phi)
+            + 4 * (15 * e4 / 256 + 45 * e6 / 1024) * np.cos(4 * phi)
+            - 6 * (35 * e6 / 3072) * np.cos(6 * phi))
+
+
+def polyconic(lat0: float, lon0: float, fe: float, fn: float,
+              ell: Ellipsoid = WGS84):
+    """American Polyconic, EPSG method 9818 (Snyder 18-12..18-23) —
+    the Brazilian SAD69 Polyconic grid (EPSG:29101).  Each parallel is
+    an arc of its own tangent cone: radius nu*cot(phi) centered on the
+    central meridian — the invariant the tests pin, together with the
+    exact meridian-arc identity along lon0."""
+    a, e2, e = ell.a, ell.e2, ell.e
+    lam0 = np.radians(lon0)
+    m0 = float(_meridian_arc(np.radians(lat0), ell))
+
+    def fwd(lon, lat):
+        phi = np.radians(np.asarray(lat, float))
+        lam = np.radians(np.asarray(lon, float)) - lam0
+        sp = np.sin(phi)
+        eq = np.abs(phi) < 1e-12
+        phi_s = np.where(eq, 1e-12, phi)  # avoid cot(0); masked below
+        nu = a / np.sqrt(1 - e2 * np.sin(phi_s) ** 2)
+        cot = np.cos(phi_s) / np.sin(phi_s)
+        L = lam * np.sin(phi_s)
+        x = np.where(eq, a * lam, nu * cot * np.sin(L))
+        y = np.where(eq, -m0,
+                     _meridian_arc(phi_s, ell) - m0
+                     + nu * cot * (1 - np.cos(L)))
+        return fe + x, fn + y
+
+    def inv(x, y):
+        xp = (np.asarray(x, float) - fe) / a
+        yp = (np.asarray(y, float) - fn) / a
+        A = (m0 / a) + yp
+        B = xp * xp + A * A
+        eq = np.abs(A) < 1e-12
+        phi = np.where(eq, 0.0, A)
+        for _ in range(12):
+            sp = np.sin(phi)
+            s2 = np.sin(2 * phi)
+            s2 = np.where(np.abs(s2) < 1e-12, 1e-12, s2)
+            C = np.sqrt(1 - e2 * sp * sp) * np.tan(
+                np.where(eq, 1e-12, phi))
+            Ma = _meridian_arc(phi, ell) / a
+            Mnp = _meridian_arc_deriv(phi, ell)
+            num = A * (C * Ma + 1) - Ma - 0.5 * C * (Ma * Ma + B)
+            den = (e2 * s2 * (Ma * Ma + B - 2 * A * Ma) / (4 * C)
+                   + (A - Ma) * (C * Mnp - 2 / s2) - Mnp)
+            phi = np.where(eq, 0.0, phi - num / den)
+        sp = np.sin(phi)
+        C = np.sqrt(1 - e2 * sp * sp) * np.tan(
+            np.where(eq, 1e-12, phi))
+        lam = np.where(
+            eq, xp,
+            np.arcsin(np.clip(xp * C, -1.0, 1.0))
+            / np.where(eq, 1.0, sp))
+        return np.degrees(lam + lam0), np.degrees(phi)
+
+    return fwd, inv
+
+
 # ---------------------------------------------------------------------------
 # Oblique families (round 4: r3 VERDICT #3 — the first national grids a
 # European user feeds in; the reference reaches them through PROJ,

@@ -303,6 +303,8 @@ def transform_from_projjson(doc: dict):
         return C.cassini_soldner(lat0, lon0, fe, fn, ell)
     if m in ("robinson",):
         return C.robinson_projection(lon0, fe, fn, ell.a)
+    if m in ("americanpolyconic", "polyconic"):
+        return C.polyconic(lat0, lon0, fe, fn, ell)
     if m in ("equidistantcylindrical", "equirectangular"):
         return C.equidistant_cylindrical(
             _get(p, _LAT1 + _LATTS, lat0), lon0, fe, fn, ell)

@@ -331,6 +331,13 @@ _PROJ_WKT = {
          _param_scale("Scale factor at projection centre", 1, 8815),
          _param_m("Easting at projection centre", 600000, 8816),
          _param_m("Northing at projection centre", 200000, 8817)], 21781),
+    29101: _proj(
+        "SAD69 / Brazil Polyconic", 4618, "Brazil Polyconic",
+        "American Polyconic", 9818,
+        [_param_deg("Latitude of natural origin", 0, 8801),
+         _param_deg("Longitude of natural origin", -54, 8802),
+         _param_m("False easting", 5000000, 8806),
+         _param_m("False northing", 10000000, 8807)], 29101),
     4087: _proj(
         "WGS 84 / World Equidistant Cylindrical", 4326,
         "World Equidistant Cylindrical", "Equidistant Cylindrical", 1028,

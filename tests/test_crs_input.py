@@ -602,3 +602,40 @@ def test_equidistant_cylindrical_worked_example():
     assert abs(y[0] - R * math.radians(45)) < 1e-6
     lo3, la3 = inv(x, y)
     assert abs(lo3[0] - 20.0) < 1e-12 and abs(la3[0] - 45.0) < 1e-12
+
+
+def test_polyconic_brazil():
+    """American Polyconic (EPSG 9818, SAD69 / Brazil Polyconic
+    EPSG:29101).  Anchors are structural identities of the projection
+    itself: along the central meridian y = FN + meridian arc exactly,
+    and every parallel is an arc of its tangent cone (radius
+    nu*cot(phi)) centered on the central meridian — plus a 1e-9
+    round-trip over the Brazilian extent."""
+    from geoio_jl_spark.functions.crs import (Ellipsoid, _meridian_arc,
+                                              polyconic)
+    t = get_transform("EPSG:4326", "EPSG:29101")
+    ti = get_transform("EPSG:29101", "EPSG:4326")
+    ell = Ellipsoid(6378160.0, 298.25)  # GRS 1967 Modified
+    # central meridian identity
+    for lat in (-30.0, -15.2, 0.0, 10.0):
+        x, y = t(np.array([-54.0]), np.array([lat]))
+        M = float(_meridian_arc(np.radians(lat), ell))
+        assert abs(x[0] - 5e6) < 1e-6
+        assert abs(y[0] - (1e7 + M)) < 1e-5
+    # parallel-arc invariant at 20S
+    phi = np.radians(-20.0)
+    nu = ell.a / np.sqrt(1 - ell.e2 * np.sin(phi) ** 2)
+    R = nu / np.tan(phi)
+    cy = 1e7 + float(_meridian_arc(phi, ell)) + R
+    for lon in (-60.0, -54.0, -45.0):
+        x, y = t(np.array([lon]), np.array([-20.0]))
+        assert abs(np.hypot(x[0] - 5e6, y[0] - cy) - abs(R)) < 1e-5
+    # round-trip over Brazil (incl. the equator row, the cot(phi)
+    # singularity handled by the series limit)
+    lo = np.linspace(-74, -34, 21)
+    la = np.linspace(-33, 5, 21)
+    LO, LA = np.meshgrid(lo, la)
+    lo2, la2 = ti(*t(LO.ravel(), LA.ravel()))
+    np.testing.assert_allclose(lo2, LO.ravel(), atol=1e-9)
+    np.testing.assert_allclose(la2, LA.ravel(), atol=1e-9)
+    assert crs_info("EPSG:29101")["projection"] == "American Polyconic"
