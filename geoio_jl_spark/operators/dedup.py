@@ -199,3 +199,42 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         .select("id_a", "id_b", "inter",
                 (F.col("na") + F.col("nb") - F.col("inter")).alias("uni"))
     )
+
+
+def chunk_dup_stats(docs: DataFrame, chunk_len: int = 3,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Chunk-level (line/paragraph-analog) exact dedup stats — the
+    C4/RefinedWeb-style "remove spans duplicated across documents" pass
+    expressed relationally: split each doc into consecutive
+    ``chunk_len``-token windows (ragged tail dropped), count how many of
+    a doc's chunk INSTANCES occur in >= 2 distinct documents.
+
+    → (id, n_chunks, dup_chunks).  Plan shape at scale: explode →
+    groupBy(chunk) with map-side combine → join back on chunk → final
+    groupBy(id).  A boilerplate chunk shared by 10⁶ docs makes the
+    chunk join key hot — AQE skew-join splits it (the join carries only
+    (chunk, df), no payload), and the final per-doc aggregate is
+    uniform in |doc|.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = (F.size(toks) / chunk_len).cast("int")
+    chunks = F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_len + 1, chunk_len), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(F.col(id_col), F.explode(chunks).alias("chunk"))
+    df_counts = (exploded.groupBy("chunk")
+                 .agg(F.count_distinct(id_col).alias("df")))
+    per_doc = (exploded.join(df_counts, "chunk")
+               .groupBy(id_col)
+               .agg(F.count("*").alias("n_chunks"),
+                    F.sum((F.col("df") >= 2).cast("bigint"))
+                    .alias("dup_chunks")))
+    # docs too short for one chunk still get a row (0, 0)
+    return (docs.select(id_col)
+            .join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+                    F.coalesce("dup_chunks", F.lit(0)).alias("dup_chunks")))

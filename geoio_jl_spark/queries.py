@@ -1464,6 +1464,40 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# Q: chunk-level exact dedup stats (round 4) — the C4/RefinedWeb-style
+# "spans duplicated across documents" pass: consecutive 3-token windows
+# per doc, count instances occurring in >= 2 distinct docs.  Pure
+# relational plan (explode → chunk groupBy → join back → per-doc agg);
+# integer outputs → hash-stable.
+# ---------------------------------------------------------------------------
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoio_jl_spark.operators.dedup import chunk_dup_stats
+    return chunk_dup_stats(_read(spark, sf_dir, "documents"), chunk_len=3)
+
+
+_SQL_CHUNK_DEDUP = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+ch AS (
+  SELECT doc_id, array_to_string(t[i*3+1 : i*3+3], ' ') AS chunk
+  FROM toks,
+       unnest(generate_series(0, CAST(floor(len(t)/3) AS BIGINT) - 1))
+       AS g(i)
+),
+dfreq AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM ch GROUP BY chunk),
+per AS (
+  SELECT ch.doc_id, count(*) AS n_chunks,
+         sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS dup_chunks
+  FROM ch JOIN dfreq USING (chunk) GROUP BY ch.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(coalesce(per.dup_chunks, 0) AS BIGINT) AS dup_chunks
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: RD New (Oblique Stereographic on Bessel, the Dutch national grid)
 # — extends oracle-checked reprojection to the round-4 oblique family.
 # Conformal-sphere constants are computed ONCE in Python (same code
@@ -1689,6 +1723,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "raster_warp": (q_raster_warp, _sql_raster_warp()),
         "lambert93": (q_lambert93, _sql_lambert93()),
         "rd_new": (q_rd_new, _sql_rd_new()),
+        "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
         "ivf_topk": (q_ivf_topk, _sql_ivf_topk()),
         "session_rollup": (q_session_rollup, _sql_session_rollup()),
     }

@@ -124,3 +124,21 @@ def test_ngram_jaccard_cap_is_default(spark):
     sig = inspect.signature(DD.ngram_jaccard_pairs)
     assert sig.parameters["max_df"].default == DD.DEFAULT_MAX_DF
     assert DD.DEFAULT_MAX_DF is not None
+
+
+def test_chunk_dup_stats_hand_case(spark):
+    """Chunk-level dedup on a hand-built corpus: doc 1 and 2 share one
+    3-token chunk exactly; doc 3 repeats a chunk twice internally (no
+    cross-doc duplicate -> not counted); doc 4 is too short for a
+    chunk."""
+    import pandas as pd
+    from geoio_jl_spark.operators.dedup import chunk_dup_stats
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c d e f",        # chunks: "a b c", "d e f"
+                 "a b c x y z",        # shares "a b c" with doc 1
+                 "p q r p q r",        # same chunk twice, one doc only
+                 "u v"]}))             # 0 chunks
+    got = {r["doc_id"]: (r["n_chunks"], r["dup_chunks"])
+           for r in chunk_dup_stats(docs, chunk_len=3).collect()}
+    assert got == {1: (2, 1), 2: (2, 1), 3: (2, 0), 4: (0, 0)}
