@@ -1476,6 +1476,43 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dup_stats(_read(spark, sf_dir, "documents"), chunk_len=3)
 
 
+# ---------------------------------------------------------------------------
+# Q: corpus vocabulary top-k (round 4) — the frequency-table /
+# vocab-building pass every tokenizer training run starts with: explode
+# tokens (map-side combine keeps the shuffle at |vocab|, not |tokens|),
+# global counts, top 50 with deterministic (count desc, token asc)
+# tiebreak.  At 100 TB the shuffle carries one row per distinct token
+# per partition; the final top-k is a tiny single-partition sort.
+# ---------------------------------------------------------------------------
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token"))
+    counts = (toks.filter(F.col("token") != "")
+              .groupBy("token").agg(F.count("*").alias("n")))
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 50)
+            .select("token", "n", "rank"))
+
+
+_SQL_VOCAB_TOPK = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT token, count(*) AS n FROM toks WHERE token <> '' GROUP BY token
+),
+r AS (
+  SELECT token, n,
+         row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+  FROM counts
+)
+SELECT token, n, rank FROM r WHERE rank <= 50
+"""
+
+
 _SQL_CHUNK_DEDUP = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 ch AS (
@@ -1724,6 +1761,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "lambert93": (q_lambert93, _sql_lambert93()),
         "rd_new": (q_rd_new, _sql_rd_new()),
         "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
+        "vocab_topk": (q_vocab_topk, _SQL_VOCAB_TOPK),
         "ivf_topk": (q_ivf_topk, _sql_ivf_topk()),
         "session_rollup": (q_session_rollup, _sql_session_rollup()),
     }
