@@ -1491,9 +1491,13 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.col("text"), " ")).alias("token"))
     counts = (toks.filter(F.col("token") != "")
               .groupBy("token").agg(F.count("*").alias("n")))
+    # orderBy+limit executes as TakeOrderedAndProject — distributed
+    # per-partition top-k then a 50-row driver merge, never a global
+    # single-partition sort over |vocab| (which is 10^8+ at web scale);
+    # the rank window then runs over 50 rows only
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(50)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    return (counts.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 50)
+    return (top.withColumn("rank", F.row_number().over(w))
             .select("token", "n", "rank"))
 
 
