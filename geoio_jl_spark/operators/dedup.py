@@ -93,19 +93,27 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         F.concat_ws("_", *[f"mh{b * nr + r}" for r in range(nr)])
         for b in range(D.MINHASH_BANDS)
     ])
-    # no persist: AQE reuses the materialized shuffle stage for both
-    # join sides (identical canonical plans), so the signature pipeline
-    # computes once per query with no executor-memory cache to leak
-    # across repeated calls (r3 VERDICT cache-hygiene item)
+    # Single-pass bucket-list plan instead of a self-join: the r4 plan
+    # audit showed Spark does NOT reuse the shuffle stage across the two
+    # sides of the old allb⋈allb join (verified executed plans: the
+    # whole signature pipeline — scan, tokenize, shingle, 128 minhash
+    # aggs — ran twice, zero ReusedExchange, with and without AQE
+    # broadcast conversion).  groupBy(band, sig) → sorted id list →
+    # explode i<j pairs computes signatures ONCE and shuffles once
+    # (by bucket key) instead of twice; pair fanout is identical to the
+    # join's output and stays executor-side inside the explode.
     allb = sig.select(id_col, F.posexplode(band_arr).alias("band", "sig"))
-    out = (
-        allb.alias("l").join(allb.alias("r"), ["band", "sig"])
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("id_a"),
-                F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
+    buckets = (allb.groupBy("band", "sig")
+               .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+               .filter(F.size("ids") > 1))
+    pair_sql = (
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "b -> struct(a AS id_a, b AS id_b))))"
     )
-    return out
+    return (buckets.select(F.explode(F.expr(pair_sql)).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .distinct())
 
 
 def minhash_star_edges(docs: DataFrame, text_col: str = "text",
@@ -172,30 +180,52 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     by default (DEFAULT_MAX_DF); pass ``max_df=None`` to opt into the
     unbounded exact join (only safe on bounded corpora — at web scale a
     single boilerplate shingle in 10⁶ docs would emit 10¹² pairs). The
-    hot list is tiny by construction, so it excludes via broadcast
-    anti-join; intersection AND union are computed over the capped
-    shingle sets, so the result is the exact Jaccard of the filtered
-    feature space."""
+    cap becomes a plain ``size(ids) <= max_df`` filter on the grouped
+    bucket row (no separate hot-list branch); intersection AND union
+    are computed over the capped shingle sets, so the result is the
+    exact Jaccard of the filtered feature space.
+
+    Plan shape (r5 rework — the r4 audit showed the old sh⋈sh self-join
+    plus the hot-list and sizes branches re-ran the tokenize+shingle
+    pipeline 8× per query, zero stage reuse): one inverted-index
+    groupBy(sh) → per-shingle sorted id list → explode i<=j pairs
+    (diagonal (a,a) rows carry each doc's kept-shingle count through
+    the SAME aggregate) → groupBy(id_a, id_b).  The upstream pipeline
+    runs exactly once; only the final small pair-count aggregate is
+    branched (diag vs off-diag vs joins), so THAT is the piece
+    materialized via ``localCheckpoint`` (plan truncation + block
+    reuse, auto-freed when the RDD is GC'd — same pattern as
+    operators/components.py; no CacheManager entry to leak across
+    calls).  Per-shingle pair fanout is bounded by max_df²/2."""
     sh = exploded_shingles(docs, text_col, id_col).distinct()
+    buckets = (sh.groupBy("sh")
+               .agg(F.sort_array(F.collect_set(id_col)).alias("ids")))
     if max_df is not None:
-        hot = (sh.groupBy("sh").agg(F.count("*").alias("df"))
-               .filter(F.col("df") > max_df).select("sh"))
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-    # no persist: the self-join sides share one reused shuffle stage
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    pairs = (
-        sh.alias("l").join(sh.alias("r"), "sh")
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .groupBy(F.col(f"l.{id_col}").alias("id_a"),
-                 F.col(f"r.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-        .filter(F.col("inter") >= min_inter)
+        buckets = buckets.filter(F.size("ids") <= max_df)
+    # i<j pairs (inter contributions) ++ diagonal (a,a) rows (each doc
+    # in the bucket once → per-doc kept-shingle counts, i.e. n_sh)
+    contrib_sql = (
+        "concat("
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "b -> struct(a AS id_a, b AS id_b)))), "
+        "transform(ids, a -> struct(a AS id_a, a AS id_b)))"
     )
+    g = (buckets.select(F.explode(F.expr(contrib_sql)).alias("p"))
+         .groupBy(F.col("p.id_a").alias("id_a"),
+                  F.col("p.id_b").alias("id_b"))
+         .agg(F.count("*").alias("cnt"))
+         .localCheckpoint(eager=False))
+    diag = g.filter(F.col("id_a") == F.col("id_b")).select(
+        F.col("id_a").alias("id"), F.col("cnt").alias("n_sh"))
+    pairs = (g.filter((F.col("id_a") < F.col("id_b"))
+                      & (F.col("cnt") >= min_inter))
+             .withColumnRenamed("cnt", "inter"))
     return (
-        pairs.join(sizes.withColumnRenamed(id_col, "id_a")
-                   .withColumnRenamed("n_sh", "na"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b")
-              .withColumnRenamed("n_sh", "nb"), "id_b")
+        pairs.join(diag.select(F.col("id").alias("id_a"),
+                               F.col("n_sh").alias("na")), "id_a")
+        .join(diag.select(F.col("id").alias("id_b"),
+                          F.col("n_sh").alias("nb")), "id_b")
         .select("id_a", "id_b", "inter",
                 (F.col("na") + F.col("nb") - F.col("inter")).alias("uni"))
     )

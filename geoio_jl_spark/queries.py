@@ -651,28 +651,14 @@ SELECT node, min(r) AS component FROM reach GROUP BY node
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup: distinct-shingle inverted index →
-    pairs sharing >= 2 shingles, with exact intersection / union sizes."""
-    from geoio_jl_spark.operators.dedup import exploded_shingles
+    pairs sharing >= 2 shingles, with exact intersection / union sizes.
+    Same single-upstream bucket-list plan as the capped variant
+    (operators/dedup.py), just without the DF cap."""
+    from geoio_jl_spark.operators.dedup import ngram_jaccard_pairs
     docs = _read(spark, sf_dir, "documents")
-    sh = exploded_shingles(docs).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    pairs = (
-        sh.alias("l").join(sh.alias("r"), "sh")
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .groupBy(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
-        .filter(F.col("inter") >= 2)
-    )
-    return (
-        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a")
-                   .withColumnRenamed("n_sh", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("n_sh", "nb"), "doc_b")
-        .select(
-            "doc_a", "doc_b", "inter",
-            (F.col("na") + F.col("nb") - F.col("inter")).alias("uni"),
-        )
-    )
+    return (ngram_jaccard_pairs(docs, max_df=None)
+            .withColumnRenamed("id_a", "doc_a")
+            .withColumnRenamed("id_b", "doc_b"))
 
 
 def _sql_ngram_jaccard() -> str:
