@@ -268,3 +268,51 @@ def chunk_dup_stats(docs: DataFrame, chunk_len: int = 3,
             .select(id_col,
                     F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
                     F.coalesce("dup_chunks", F.lit(0)).alias("dup_chunks")))
+
+
+def remove_dup_chunks(docs: DataFrame, chunk_len: int = 3,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Span REMOVAL — the cleaning half of :func:`chunk_dup_stats` (the
+    actual C4/RefinedWeb "remove spans duplicated across documents"
+    step): drop every chunk instance whose chunk occurs in >= 2
+    distinct documents, rejoin the surviving chunks in original order,
+    and keep the ragged token tail (it was never part of any chunk, so
+    it is never "duplicated").
+
+    → (id, clean_text, removed_chunks).  Plan shape at scale: explode
+    chunks with position → groupBy(chunk) df filter (map-side combine;
+    only df>=2 chunks survive into the join, so the join input is the
+    dup set, not the corpus) → per-doc sorted dup-position arrays →
+    ONE join back to the docs table on id → per-row reassembly with
+    pure built-ins (split / filter-with-index / slice / concat_ws —
+    whole-stage codegen, no Python crossing).  Invariant (tested):
+    clean tokens ⊎ removed-chunk tokens == original tokens per doc.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = (F.size(toks) / chunk_len).cast("int")
+    chunk_arr = F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_len + 1, chunk_len), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(chunk_arr).alias("pos", "chunk"))
+    dup_chunks = (exploded.groupBy("chunk")
+                  .agg(F.count_distinct(id_col).alias("df"))
+                  .filter(F.col("df") >= 2).select("chunk"))
+    dup_pos = (exploded.join(dup_chunks, "chunk")
+               .groupBy(id_col)
+               .agg(F.sort_array(F.collect_set("pos")).alias("dpos")))
+    base = docs.join(dup_pos, id_col, "left").withColumn(
+        "dpos", F.coalesce("dpos", F.array().cast("array<int>")))
+    kept_str = F.array_join(
+        F.filter(chunk_arr, lambda c, i: ~F.array_contains("dpos", i)),
+        " ")
+    tail_str = F.array_join(
+        F.slice(toks, n * chunk_len + 1, F.size(toks)), " ")
+    return base.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.nullif(kept_str, F.lit("")),
+                    F.nullif(tail_str, F.lit(""))).alias("clean_text"),
+        F.size("dpos").alias("removed_chunks"))

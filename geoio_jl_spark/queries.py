@@ -1525,6 +1525,51 @@ FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Q: chunk-level span REMOVAL (round 5) — the cleaning half of
+# chunk_dedup: emit each document's text with cross-document duplicated
+# 3-token chunks dropped (ragged tail kept).  String output,
+# hash-stable because both engines reassemble with identical
+# order-by-position concatenation.
+# ---------------------------------------------------------------------------
+
+def q_chunk_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoio_jl_spark.operators.dedup import remove_dup_chunks
+    return remove_dup_chunks(_read(spark, sf_dir, "documents"), chunk_len=3)
+
+
+_SQL_CHUNK_REMOVED = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         CAST(floor(len(string_split(text, ' ')) / 3) AS BIGINT) AS n
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, i, array_to_string(t[i*3+1 : i*3+3], ' ') AS chunk
+  FROM base, unnest(generate_series(0, n - 1)) AS g(i)
+),
+dfreq AS (
+  SELECT chunk FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+),
+dup AS (SELECT ch.doc_id, ch.i FROM ch JOIN dfreq USING (chunk)),
+kept AS (
+  SELECT ch.doc_id, string_agg(ch.chunk, ' ' ORDER BY ch.i) AS body
+  FROM ch LEFT JOIN dup ON dup.doc_id = ch.doc_id AND dup.i = ch.i
+  WHERE dup.i IS NULL
+  GROUP BY ch.doc_id
+),
+rem AS (SELECT doc_id, count(*) AS removed FROM dup GROUP BY doc_id)
+SELECT b.doc_id,
+       concat_ws(' ', nullif(k.body, ''),
+                 nullif(array_to_string(t[n*3+1 : len(t)], ' '), ''))
+         AS clean_text,
+       CAST(coalesce(rem.removed, 0) AS INT) AS removed_chunks
+FROM base b
+LEFT JOIN kept k ON k.doc_id = b.doc_id
+LEFT JOIN rem ON rem.doc_id = b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: RD New (Oblique Stereographic on Bessel, the Dutch national grid)
 # — extends oracle-checked reprojection to the round-4 oblique family.
 # Conformal-sphere constants are computed ONCE in Python (same code
@@ -1751,6 +1796,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "lambert93": (q_lambert93, _sql_lambert93()),
         "rd_new": (q_rd_new, _sql_rd_new()),
         "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
+        "chunk_removed": (q_chunk_removed, _SQL_CHUNK_REMOVED),
         "vocab_topk": (q_vocab_topk, _SQL_VOCAB_TOPK),
         "ivf_topk": (q_ivf_topk, _sql_ivf_topk()),
         "session_rollup": (q_session_rollup, _sql_session_rollup()),

@@ -164,3 +164,57 @@ def test_dedup_plans_single_upstream(spark, sf_dir):
     ng.count()
     plan = ng._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") <= 1, plan
+
+
+def test_remove_dup_chunks_hand_case(spark):
+    import pandas as pd
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c d e f g",    # "a b c" dup with doc 2; tail "g" kept
+                 "a b c x y z",
+                 "p q r p q r",      # internal repeat only -> not removed
+                 "u v"]}))           # no chunks
+    got = {r["doc_id"]: (r["clean_text"], r["removed_chunks"])
+           for r in DD.remove_dup_chunks(docs, chunk_len=3).collect()}
+    assert got == {1: ("d e f g", 1), 2: ("x y z", 1),
+                   3: ("p q r p q r", 0), 4: ("u v", 0)}
+
+
+def test_remove_dup_chunks_reconstructs(spark, sf_dir):
+    """clean ⊕ removed == original token stream: an independent pure-
+    Python reimplementation over the real documents table must produce
+    byte-identical clean_text, and per doc the removed chunk tokens plus
+    the clean tokens must reassemble the original in order."""
+    from collections import defaultdict
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = {r["doc_id"]: r["text"]
+            for r in docs.select("doc_id", "text").collect()}
+    L = 3
+    chunks_of = {}
+    df = defaultdict(set)
+    for did, text in rows.items():
+        t = text.split(" ")
+        cs = [" ".join(t[i * L:(i + 1) * L]) for i in range(len(t) // L)]
+        chunks_of[did] = (t, cs)
+        for c in set(cs):
+            df[c].add(did)
+    expect = {}
+    for did, (t, cs) in chunks_of.items():
+        keep = [c for c in cs if len(df[c]) < 2]
+        tail = t[len(cs) * L:]
+        parts = [p for p in [" ".join(keep), " ".join(tail)] if p]
+        expect[did] = (" ".join(parts), sum(1 for c in cs if len(df[c]) >= 2))
+    got = {r["doc_id"]: (r["clean_text"], r["removed_chunks"])
+           for r in DD.remove_dup_chunks(docs, chunk_len=L).collect()}
+    assert got == expect
+    # reconstruction: reinsert removed chunks at their positions
+    for did, (t, cs) in chunks_of.items():
+        clean_toks = got[did][0].split(" ") if got[did][0] else []
+        rebuilt, ci = [], 0
+        for c in cs:
+            if len(df[c]) >= 2:
+                rebuilt.extend(c.split(" "))
+            else:
+                rebuilt.extend(clean_toks[ci:ci + L]); ci += L
+        rebuilt.extend(clean_toks[ci:])
+        assert rebuilt == t
