@@ -39,7 +39,8 @@ HEADLINE = [
     "cosine_topk", "embedding_near_dup", "events_window", "events_rollup",
     "asof_join", "session_rollup", "bpe_tokens", "gopher_filter", "gopher_repetition",
     "url_canonical", "url_dup_groups", "zorder_cells",
-    "mercator3395", "lambert93", "rd_new", "chunk_dedup", "chunk_removed",
+    "mercator3395", "lambert93", "rd_new", "sinusoidal",
+    "chunk_dedup", "chunk_removed",
     "vocab_topk", "raster_warp",
 ]
 

@@ -63,6 +63,13 @@ def gm_to_crs(attrs: dict) -> dict | None:
         return {"type": "Orthographic", "datum": datum,
                 "lat_o": _scalar(attrs, "latitude_of_projection_origin"),
                 **shift}
+    if name == "sinusoidal":
+        d = {"type": "Sinusoidal", "datum": datum, **shift}
+        # MODIS files carry a spherical earth_radius (6371007.181)
+        # instead of a reference ellipsoid name
+        if "earth_radius" in attrs:
+            d["radius"] = _scalar(attrs, "earth_radius")
+        return d
     if name == "transverse_mercator":
         return {"type": "TransverseMercator", "datum": datum,
                 "k_0": _scalar(attrs, "scale_factor_at_central_meridian"),
@@ -95,6 +102,13 @@ def crs_to_gm(desc: dict) -> dict | None:
         return {"grid_mapping_name": "orthographic",
                 "reference_ellipsoid_name": ellip,
                 "latitude_of_projection_origin": desc["lat_o"], **shift}
+    if t == "Sinusoidal":
+        out = {"grid_mapping_name": "sinusoidal", **shift}
+        if "radius" in desc:
+            out["earth_radius"] = desc["radius"]
+        else:
+            out["reference_ellipsoid_name"] = ellip
+        return out
     if t == "TransverseMercator":
         return {"grid_mapping_name": "transverse_mercator",
                 "reference_ellipsoid_name": ellip,
@@ -121,4 +135,52 @@ def crs_code(desc: dict | None) -> str | None:
         if zone == int(zone) and 1 <= zone <= 60:
             south = desc["y_o"] == 10000000.0
             return f"EPSG:{(32700 if south else 32600) + int(zone)}"
+    return None
+
+
+# descriptor types resolvable straight onto the closed-form projection
+# families (consumed by functions/crs._resolve_side, which makes any
+# CF-loaded grid's descriptor a first-class get_transform side — the
+# round-5 "CF orthographic end-to-end" wiring)
+DESC_TYPES = ("LatLon", "Mercator", "Orthographic", "Sinusoidal",
+              "TransverseMercator")
+
+
+def _desc_ellipsoid(desc: dict):
+    from geoio_jl_spark.functions.crs import Ellipsoid
+    if "radius" in desc:
+        return Ellipsoid(float(desc["radius"]), 0.0)
+    from geoio_jl_spark.functions.wkt2_corpus import _ELLIPSOIDS
+    name = DATUM2ELLIP.get(desc.get("datum", "WGS84Latest"), "WGS 84")
+    _n, a, rf, _code = _ELLIPSOIDS.get(name, _ELLIPSOIDS["WGS 84"])
+    return Ellipsoid(float(a), float(rf))
+
+
+def transform_from_descriptor(desc: dict):
+    """CF CRS descriptor → ('geographic', None) | ('projected',
+    (fwd, inv)) | None.  The bridge from a grid_mapping loaded out of a
+    NetCDF/HDF5 file to the reprojection engine: a MODIS sinusoidal or
+    an orthographic grid can be warped without ever minting a WKT
+    string for it."""
+    from geoio_jl_spark.functions import crs as C
+    t = desc.get("type")
+    if t not in DESC_TYPES:
+        return None
+    if t == "LatLon":
+        return ("geographic", None)
+    ell = _desc_ellipsoid(desc)
+    lon0 = float(desc.get("lon_o", 0.0))
+    fe = float(desc.get("x_o", 0.0))
+    fn = float(desc.get("y_o", 0.0))
+    if t == "Mercator":
+        return ("projected", C.mercator_projection(lon0, 1.0, fe, fn, ell))
+    if t == "Orthographic":
+        return ("projected", C.orthographic(
+            float(desc.get("lat_o", 0.0)), lon0, fe, fn, ell))
+    if t == "Sinusoidal":
+        return ("projected", C.sinusoidal(lon0, fe, fn, ell))
+    if t == "TransverseMercator":
+        return ("projected", C.tm_projection(
+            float(desc.get("lat_o", 0.0)), lon0,
+            float(desc.get("k_0", 1.0)), fe, fn, ell))
     return None

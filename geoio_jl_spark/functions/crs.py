@@ -57,7 +57,7 @@ def _doc_for(crs) -> "dict | None":
     s = crs.strip()
     if _re.match(r"^[A-Za-z]+:[0-9]+$", s):
         auth, code = s.split(":")
-        if auth.upper() in ("EPSG", "OGC"):
+        if auth.upper() in ("EPSG", "OGC", "ESRI"):
             from geoio_jl_spark.functions.wkt2_corpus import projjson_for
             try:
                 return projjson_for(int(code))
@@ -649,6 +649,97 @@ def equidistant_cylindrical(lat1: float, lon0: float, fe: float, fn: float,
     return fwd, inv
 
 
+def sinusoidal(lon0: float, fe: float, fn: float,
+               ell: Ellipsoid = WGS84):
+    """Sinusoidal (Sanson-Flamsteed), Snyder §30 — the MODIS grid CRS
+    (ESRI:54008 / the MODIS authalic sphere R=6371007.181, the single
+    most common raster CRS in earth-science archives; the reference
+    reaches it through PROJ, src/conversion/gi.jl:63-68).  Ellipsoidal
+    form (Snyder 30-8/30-9): x = a·Δλ·cosφ/√(1−e²sin²φ), y = M(φ);
+    with e=0 this reduces exactly to the spherical R·Δλ·cosφ / R·φ,
+    so the sphere datum needs no special case."""
+    a, e2 = ell.a, ell.e2
+    lam0 = np.radians(lon0)
+
+    def fwd(lon, lat):
+        phi = np.radians(np.asarray(lat, float))
+        lam = np.radians(np.asarray(lon, float)) - lam0
+        x = a * lam * np.cos(phi) / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        return fe + x, fn + _meridian_arc(phi, ell)
+
+    def inv(x, y):
+        phi = _inv_meridian_arc(np.asarray(y, float) - fn, ell)
+        cp = np.cos(phi)
+        cp = np.where(np.abs(cp) < 1e-12, 1e-12, cp)  # pole guard
+        lam = ((np.asarray(x, float) - fe)
+               * np.sqrt(1 - e2 * np.sin(phi) ** 2) / (a * cp))
+        return np.degrees(lam0 + lam), np.degrees(phi)
+
+    return fwd, inv
+
+
+def orthographic(lat0: float, lon0: float, fe: float, fn: float,
+                 ell: Ellipsoid = WGS84):
+    """Orthographic, EPSG method 9840 (ellipsoidal, EPSG GN7-2 §3.2.x):
+
+        E = FE + ν·cosφ·sin(λ−λ0)
+        N = FN + ν·(sinφ·cosφ0 − cosφ·sinφ0·cos(λ−λ0))
+               + e²·(ν0·sinφ0 − ν·sinφ)·cosφ0
+
+    The perspective view of the ellipsoid from infinity; only points on
+    the visible hemisphere (cos c >= 0 about the origin) map uniquely.
+    Inverse: spherical first guess, then vectorized Newton on the two
+    forward equations (analytic Jacobian via central differences —
+    converges quadratically well inside the hemisphere)."""
+    a, e2 = ell.a, ell.e2
+    p0, l0 = np.radians(lat0), np.radians(lon0)
+    nu0 = a / np.sqrt(1 - e2 * np.sin(p0) ** 2)
+
+    def _fwd_rad(phi, lam):
+        nu = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        dl = lam - l0
+        E = nu * np.cos(phi) * np.sin(dl)
+        N = (nu * (np.sin(phi) * np.cos(p0)
+                   - np.cos(phi) * np.sin(p0) * np.cos(dl))
+             + e2 * (nu0 * np.sin(p0) - nu * np.sin(phi)) * np.cos(p0))
+        return E, N
+
+    def fwd(lon, lat):
+        E, N = _fwd_rad(np.radians(np.asarray(lat, float)),
+                        np.radians(np.asarray(lon, float)))
+        return fe + E, fn + N
+
+    def inv(E, N):
+        Ep = np.asarray(E, float) - fe
+        Np = np.asarray(N, float) - fn
+        # spherical first guess (Snyder 20-14..20-17, R = nu0)
+        rho = np.hypot(Ep, Np)
+        cc = np.arcsin(np.clip(rho / nu0, -1.0, 1.0))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            phi = np.where(rho < 1e-9, p0, np.arcsin(np.clip(
+                np.cos(cc) * np.sin(p0)
+                + np.where(rho < 1e-9, 0.0, Np * np.sin(cc) * np.cos(p0)
+                           / np.where(rho < 1e-9, 1.0, rho)), -1.0, 1.0)))
+            lam = l0 + np.arctan2(
+                Ep * np.sin(cc),
+                rho * np.cos(p0) * np.cos(cc) - Np * np.sin(p0) * np.sin(cc))
+        h = 1e-7
+        for _ in range(10):
+            F1, F2 = _fwd_rad(phi, lam)
+            F1, F2 = F1 - Ep, F2 - Np
+            a11 = (_fwd_rad(phi + h, lam)[0] - _fwd_rad(phi - h, lam)[0]) / (2 * h)
+            a12 = (_fwd_rad(phi, lam + h)[0] - _fwd_rad(phi, lam - h)[0]) / (2 * h)
+            a21 = (_fwd_rad(phi + h, lam)[1] - _fwd_rad(phi - h, lam)[1]) / (2 * h)
+            a22 = (_fwd_rad(phi, lam + h)[1] - _fwd_rad(phi, lam - h)[1]) / (2 * h)
+            det = a11 * a22 - a12 * a21
+            det = np.where(np.abs(det) < 1e-12, 1e-12, det)
+            phi = phi - (F1 * a22 - F2 * a12) / det
+            lam = lam - (a11 * F2 - a21 * F1) / det
+        return np.degrees(lam), np.degrees(phi)
+
+    return fwd, inv
+
+
 def _meridian_arc_deriv(phi, ell: Ellipsoid):
     """d(meridian arc)/d(phi) / a — derivative of Snyder 3-21."""
     e2 = ell.e2
@@ -1003,6 +1094,13 @@ def _resolve_side(crs):
     closed-form families via crs_input.transform_from_projjson."""
     from geoio_jl_spark.functions.crs_input import (
         is_geographic_doc, transform_from_projjson)
+    if isinstance(crs, dict):
+        # CF grid-mapping descriptor (cfgrid.gm_to_crs output) — lets a
+        # NetCDF-loaded orthographic/sinusoidal grid warp directly
+        from geoio_jl_spark.functions.cfgrid import (
+            DESC_TYPES, transform_from_descriptor)
+        if crs.get("type") in DESC_TYPES:
+            return transform_from_descriptor(crs)
     if isinstance(crs, str):
         utm = _parse_utm(crs)
         if utm is not None:

@@ -340,4 +340,8 @@ def transform_from_projjson(doc: dict):
                         "pseudostandardparallel1"], 78.5)
         return C.krovak(lat0, lon0, az, lat1, k0, fe, fn, ell,
                         north_orientated=(m != "krovak"))
+    if m in ("orthographic",):
+        return C.orthographic(lat0, lon0, fe, fn, ell)
+    if m in ("sinusoidal", "sansonflamsteed"):
+        return C.sinusoidal(lon0, fe, fn, ell)
     raise UnsupportedProjectionError(method)

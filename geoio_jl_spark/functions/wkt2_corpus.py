@@ -355,6 +355,22 @@ _PROJ_WKT = {
          _param_scale("Scale factor at natural origin", 0.9999079, 8805),
          _param_m("False easting", 155000, 8806),
          _param_m("False northing", 463000, 8807)], 28992),
+    # ESRI:54008 World Sinusoidal (the Sinusoidal method has no EPSG
+    # method code — ESRI/PROJ only — so the METHOD node carries no ID
+    # and the CRS ID authority is ESRI)
+    54008: (
+        'PROJCRS["World_Sinusoidal",'
+        'BASEGEOGCRS["WGS 84",DATUM["World Geodetic System 1984",'
+        + _ellps("WGS 84") + ',ID["EPSG",6326]],ID["EPSG",4326]],'
+        'CONVERSION["World_Sinusoidal",METHOD["Sinusoidal"],'
+        + _param_deg("Longitude of natural origin", 0, 8802) + ","
+        + _param_m("False easting", 0, 8806) + ","
+        + _param_m("False northing", 0, 8807) +
+        '],CS[Cartesian,2],'
+        'AXIS["easting (E)",east,' + _M + "],"
+        'AXIS["northing (N)",north,' + _M + "],"
+        'ID["ESRI",54008]]'
+    ),
 }
 
 # ---- special-feature codes from the reference list (crsstrings.jl:58-63):

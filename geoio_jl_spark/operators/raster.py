@@ -149,7 +149,8 @@ def warp_to_crs(src_values: DataFrame, src_spec: GridSpec,
         # same CRS: the whole warp is affine codegen, no crossing
         d = dst.withColumn("_s", F.struct(F.col("x").alias("sx"),
                                           F.col("y").alias("sy")))
-    elif pair in COLUMN_TRANSFORMS:
+    elif (isinstance(dst_spec.crs, str) and isinstance(src_spec.crs, str)
+          and pair in COLUMN_TRANSFORMS):
         # registered pure-column transform: stays in whole-stage codegen
         sx, sy = COLUMN_TRANSFORMS[pair](F.col("x"), F.col("y"))
         d = dst.withColumn("_s", F.struct(sx.alias("sx"), sy.alias("sy")))

@@ -1532,6 +1532,37 @@ FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
 # order-by-position concatenation.
 # ---------------------------------------------------------------------------
 
+_MODIS_R = 6371007.181  # MODIS authalic sphere radius (SR-ORG:6974)
+
+
+def q_sinusoidal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproject doc points onto the MODIS Sinusoidal grid (round 5) —
+    the spherical Sanson-Flamsteed closed form (functions/crs.sinusoidal
+    with the e=0 MODIS sphere): x = R·Δλ·cosφ, y = R·φ.  Pure column
+    arithmetic (whole-stage codegen); mm rounding for the cross-engine
+    hash (the lambert93 pattern)."""
+    pts = _docs_points(spark, sf_dir).select(
+        "doc_id",
+        (F.col("lon_i") / 100.0 - 180.0).alias("lon"),
+        (F.col("lat_i") / 100.0 - 85.0).alias("lat"),
+    )
+    x = F.lit(_MODIS_R) * F.radians(F.col("lon")) * F.cos(F.radians(F.col("lat")))
+    y = F.lit(_MODIS_R) * F.radians(F.col("lat"))
+    return pts.select("doc_id", F.round(x, 4).alias("sinu_x"),
+                      F.round(y, 4).alias("sinu_y"))
+
+
+_SQL_SINUSOIDAL = f"""
+SELECT doc_id,
+       round({_MODIS_R!r} * radians(lon) * cos(radians(lat)), 4) AS sinu_x,
+       round({_MODIS_R!r} * radians(lat), 4) AS sinu_y
+FROM (
+  SELECT doc_id, lon_i / 100.0 - 180.0 AS lon, lat_i / 100.0 - 85.0 AS lat
+  FROM ({_ORACLE_DOCS})
+)
+"""
+
+
 def q_chunk_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geoio_jl_spark.operators.dedup import remove_dup_chunks
     return remove_dup_chunks(_read(spark, sf_dir, "documents"), chunk_len=3)
@@ -1795,6 +1826,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "raster_warp": (q_raster_warp, _sql_raster_warp()),
         "lambert93": (q_lambert93, _sql_lambert93()),
         "rd_new": (q_rd_new, _sql_rd_new()),
+        "sinusoidal": (q_sinusoidal, _SQL_SINUSOIDAL),
         "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
         "chunk_removed": (q_chunk_removed, _SQL_CHUNK_REMOVED),
         "vocab_topk": (q_vocab_topk, _SQL_VOCAB_TOPK),

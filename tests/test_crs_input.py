@@ -639,3 +639,80 @@ def test_polyconic_brazil():
     np.testing.assert_allclose(lo2, LO.ravel(), atol=1e-9)
     np.testing.assert_allclose(la2, LA.ravel(), atol=1e-9)
     assert crs_info("EPSG:29101")["projection"] == "American Polyconic"
+
+
+def test_orthographic_worked_example():
+    """EPSG GN7-2 example for method 9840 (ellipsoidal Orthographic):
+    WGS 84, origin 55N 5E, point 53°48'33.82"N 2°07'46.38"E →
+    E −189011.711, N −128640.567; Newton inverse closes exactly."""
+    wkt = (
+        'PROJCRS["Ortho test",'
+        'BASEGEOGCRS["WGS 84",DATUM["World Geodetic System 1984",'
+        'ELLIPSOID["WGS 84",6378137,298.257223563,'
+        'LENGTHUNIT["metre",1]]],ID["EPSG",4326]],'
+        'CONVERSION["ortho",METHOD["Orthographic",ID["EPSG",9840]],'
+        'PARAMETER["Latitude of natural origin",55,'
+        'ANGLEUNIT["degree",0.0174532925199433]],'
+        'PARAMETER["Longitude of natural origin",5,'
+        'ANGLEUNIT["degree",0.0174532925199433]],'
+        'PARAMETER["False easting",0,LENGTHUNIT["metre",1]],'
+        'PARAMETER["False northing",0,LENGTHUNIT["metre",1]]],'
+        'CS[Cartesian,2],'
+        'AXIS["easting (E)",east,LENGTHUNIT["metre",1]],'
+        'AXIS["northing (N)",north,LENGTHUNIT["metre",1]]]'
+    )
+    t = get_transform("EPSG:4326", wkt)
+    lat = _dms(53, 48, 33.82)
+    lon = _dms(2, 7, 46.38)
+    E, N = t(np.array([lon]), np.array([lat]))
+    assert abs(E[0] - (-189011.711)) < 2e-3
+    assert abs(N[0] - (-128640.567)) < 2e-3
+    ti = get_transform(wkt, "EPSG:4326")
+    lo, la = ti(E, N)
+    np.testing.assert_allclose(lo, [lon], atol=1e-9)
+    np.testing.assert_allclose(la, [lat], atol=1e-9)
+
+
+def test_sinusoidal_esri54008_and_modis_sphere():
+    """ESRI:54008 World Sinusoidal resolves from the corpus (ellipsoidal
+    Snyder 30-8/30-9); a MODIS-sphere WKT2 (custom spherical datum,
+    R=6371007.181) maps the date line at the equator to the documented
+    MODIS grid half-width ±20015109.354 m; both round-trip."""
+    t = get_transform("EPSG:4326", "ESRI:54008")
+    x, y = t(np.array([10.0, 0.0]), np.array([50.0, 0.0]))
+    # x = a·Δλ·cosφ/sqrt(1−e²sin²φ) at (10E, 50N) on WGS 84
+    a, e2 = 6378137.0, 0.00669437999014132
+    lam, phi = np.radians(10.0), np.radians(50.0)
+    assert abs(x[0] - a * lam * np.cos(phi)
+               / np.sqrt(1 - e2 * np.sin(phi) ** 2)) < 1e-6
+    assert abs(x[1]) < 1e-9 and abs(y[1]) < 1e-9
+    ti = get_transform("ESRI:54008", "EPSG:4326")
+    lo, la = ti(x, y)
+    np.testing.assert_allclose(lo, [10.0, 0.0], atol=1e-9)
+    np.testing.assert_allclose(la, [50.0, 0.0], atol=1e-9)
+
+    modis = (
+        'PROJCRS["MODIS Sinusoidal",'
+        'BASEGEOGCRS["Unknown datum based upon the custom spheroid",'
+        'DATUM["Not specified (based on custom spheroid)",'
+        'ELLIPSOID["Custom spheroid",6371007.181,0,'
+        'LENGTHUNIT["metre",1]]]],'
+        'CONVERSION["Sinusoidal",METHOD["Sinusoidal"],'
+        'PARAMETER["Longitude of natural origin",0,'
+        'ANGLEUNIT["degree",0.0174532925199433]],'
+        'PARAMETER["False easting",0,LENGTHUNIT["metre",1]],'
+        'PARAMETER["False northing",0,LENGTHUNIT["metre",1]]],'
+        'CS[Cartesian,2],'
+        'AXIS["easting (E)",east,LENGTHUNIT["metre",1]],'
+        'AXIS["northing (N)",north,LENGTHUNIT["metre",1]]]'
+    )
+    tm = get_transform("EPSG:4326", modis)
+    x, y = tm(np.array([-180.0, 180.0]), np.array([0.0, 0.0]))
+    np.testing.assert_allclose(x, [-20015109.354, 20015109.354], atol=5e-3)
+    np.testing.assert_allclose(y, [0.0, 0.0], atol=1e-9)
+    tmi = get_transform(modis, "EPSG:4326")
+    lons = np.linspace(-170, 170, 9)
+    lats = np.linspace(-80, 80, 9)
+    lo, la = tmi(*tm(lons, lats))
+    np.testing.assert_allclose(lo, lons, atol=1e-9)
+    np.testing.assert_allclose(la, lats, atol=1e-9)

@@ -120,7 +120,8 @@ def test_corpus_code_schema_valid_and_roundtrips(code, projjson_schema):
     import jsonschema
     doc = WC.projjson_for(code)
     jsonschema.validate(doc, projjson_schema)
-    assert projjson_code(doc) == f"EPSG:{code}"
+    auth = "ESRI" if code == 54008 else "EPSG"  # World Sinusoidal is ESRI's
+    assert projjson_code(doc) == f"{auth}:{code}"
 
 
 def test_corpus_spot_values():

@@ -102,3 +102,45 @@ def test_warp_to_oblique_crs(spark):
         else:
             assert r["mask"] == 0, r
     assert hits > 100  # the NL box genuinely overlaps the RD grid
+
+
+def test_warp_cf_orthographic_netcdf_end_to_end(spark, tmp_path):
+    """Round-5 wiring: a NetCDF written with an Orthographic CF
+    grid_mapping loads back to a descriptor (sources/netcdf3.read_crs)
+    and that DESCRIPTOR is directly a warp side — no WKT minting.
+    Verifies each destination lon/lat cell fetched the source cell its
+    forward-projected center lands in (reference reaches orthographic
+    CF grids through PROJ, src/extra/cdm.jl:253,289 + gi.jl:63-68)."""
+    import numpy as np
+    from geoio_jl_spark.functions.crs import get_transform
+    from geoio_jl_spark.sources import netcdf3 as NC
+
+    desc = {"type": "Orthographic", "datum": "WGS84Latest",
+            "lat_o": 55.0, "lon_o": 5.0, "x_o": 0.0, "y_o": 0.0}
+    # source: 25 km orthographic grid about the origin
+    src = GridSpec(nx=20, ny=16, A=((25000.0, 0.0), (0.0, 25000.0)),
+                   b=(-250000.0, -200000.0), crs=desc)
+    vals = grid_cells(spark, src).select(
+        "x", "y", "i", "j", (F.col("i") * 1000 + F.col("j")).alias("v"))
+    path = str(tmp_path / "ortho.nc")
+    NC.write(vals, path, value_cols=["v"], crs_desc=desc)
+    back_desc, code = NC.read_crs(path)
+    assert back_desc == desc and code is None
+
+    # destination: 0.25-degree lon/lat window over the grid
+    dst = GridSpec(nx=24, ny=20, A=((0.25, 0.0), (0.0, 0.25)),
+                   b=(1.0, 53.0), crs="EPSG:4326")
+    out = warp_to_crs(vals.select("i", "j", "v"), src, dst, ["v"]).collect()
+    assert len(out) == 24 * 20
+    fwd = get_transform("EPSG:4326", back_desc)
+    hits = 0
+    for r in out:
+        sx, sy = fwd(np.array([r["x"]]), np.array([r["y"]]))
+        si = round((sx[0] - (-250000.0)) / 25000.0)
+        sj = round((sy[0] - (-200000.0)) / 25000.0)
+        if 0 <= si < 20 and 0 <= sj < 16:
+            assert r["mask"] == 1 and r["v"] == si * 1000 + sj, r
+            hits += 1
+        else:
+            assert r["mask"] == 0, r
+    assert hits > 200
