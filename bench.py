@@ -36,7 +36,7 @@ HEADLINE = [
     "exact_dedup", "minhash_lsh", "minhash_star_edges",
     "connected_components", "ngram_jaccard",
     "ngram_jaccard_capped", "simhash",
-    "cosine_topk", "embedding_near_dup", "events_window", "events_rollup",
+    "cosine_topk", "embedding_near_dup", "image_neardup", "events_window", "events_rollup",
     "asof_join", "session_rollup", "bpe_tokens", "gopher_filter", "gopher_repetition",
     "url_canonical", "url_dup_groups", "zorder_cells",
     "mercator3395", "lambert93", "rd_new", "sinusoidal",

@@ -255,3 +255,160 @@ def sample_frames(df: DataFrame, every_k: int, col: str = "video",
         return pd.Series(outv)
 
     return df.withColumn(out, _sample(F.col(col)))
+
+
+# ---------------------------------------------------------------------------
+# image near-duplicate detection: dHash / pHash + Hamming-bucket join
+# (round 5 — multimodal dedup; the perceptual-hash analog of the text
+# stack in operators/dedup.py, sharing its banded-bucket join shape)
+# ---------------------------------------------------------------------------
+
+def _to_gray(a: np.ndarray) -> np.ndarray:
+    """(h, w, c) uint8 → (h, w) float64 channel mean (identity for c=1,
+    which keeps single-channel hashes integer-exact)."""
+    return a.astype(np.float64).mean(axis=2)
+
+
+def _pool(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Block-mean downsample to (out_h, out_w); identity when the input
+    already has the target shape."""
+    h, w = gray.shape
+    if (h, w) == (out_h, out_w):
+        return gray
+    ye = (np.arange(out_h + 1) * h) // out_h
+    xe = (np.arange(out_w + 1) * w) // out_w
+    out = np.empty((out_h, out_w))
+    for j in range(out_h):
+        for i in range(out_w):
+            out[j, i] = gray[ye[j]:ye[j + 1], xe[i]:xe[i + 1]].mean()
+    return out
+
+
+_POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+
+def dhash64(a: np.ndarray) -> int:
+    """64-bit difference hash: gray → 8×9 block means → bit(j,i) =
+    p[j,i+1] > p[j,i] (8 comparisons × 8 rows), packed little-endian
+    bit (j*8+i) and reinterpreted as a signed 64-bit int."""
+    g = _pool(_to_gray(a), 8, 9)
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    return int((bits * _POW2).sum(dtype=np.uint64).astype(np.int64))
+
+
+def phash64(a: np.ndarray) -> int:
+    """64-bit perceptual hash: 32×32 block means → 2-D DCT-II → the
+    8×8 low-frequency block (DC excluded from the threshold) →
+    above-median bits, packed like dhash64."""
+    g = _pool(_to_gray(a), 32, 32)
+    n = 32
+    k = np.arange(n)
+    basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    d = basis @ g @ basis.T
+    low = d[:8, :8].ravel()
+    med = np.median(low[1:])  # DC term dominates; exclude from median
+    bits = low > med
+    bits[0] = False
+    return int((bits * _POW2).sum(dtype=np.uint64).astype(np.int64))
+
+
+def synthetic_cluster_pngs(df: DataFrame, id_col: str = "doc_id",
+                           out: str = "image") -> DataFrame:
+    """Deterministic 9×8 grayscale PNG per id — 25 pixel clusters
+    (id % 25) plus a single-pixel +50 perturbation at (id % 9, id % 8)
+    that flips at most 2 dHash bits.  Test/oracle scaffolding: the
+    pixel arithmetic is replayable in pure SQL while the bytes go
+    through the real encode_png → decode_png path."""
+    ensure_pyfiles(df.sparkSession)
+
+    @F.pandas_udf("binary")
+    def _gen(ids: pd.Series) -> pd.Series:
+        from geoio_jl_spark.sources.img import encode_png
+        j = np.arange(8)[:, None]
+        i = np.arange(9)[None, :]
+        outv = []
+        for d in ids:
+            d = int(d)
+            c = d % 25
+            # quadratic mix → cross-cluster hashes decorrelate (a
+            # linear gradient left most comparisons equal everywhere)
+            p = ((c * 97 + i + 9 * j + 1)
+                 * (c * 89 + i * 7 + j * 3 + 7)) % 251
+            p = p + ((i == d % 9) & (j == d % 8)) * 50
+            outv.append(encode_png(np.minimum(p, 255)
+                                   .astype(np.uint8)[:, :, None]))
+        return pd.Series(outv)
+
+    return df.withColumn(out, _gen(F.col(id_col)))
+
+
+def image_hashes(df: DataFrame, col: str = "image",
+                 kind: str = "dhash", out: str = "hash") -> DataFrame:
+    """binary → 64-bit perceptual hash (Arrow-batched; undecodable or
+    null blobs → null hash)."""
+    ensure_pyfiles(df.sparkSession)
+    fn = dhash64 if kind == "dhash" else phash64
+
+    @F.pandas_udf("bigint")
+    def _hash(blobs: pd.Series) -> pd.Series:
+        outv = []
+        for b in blobs:
+            if b is None:
+                outv.append(None)
+                continue
+            try:
+                outv.append(fn(decode_fake_image(bytes(b))))
+            except Exception:  # noqa: BLE001 — undecodable → null
+                outv.append(None)
+        return pd.Series(outv, dtype="object")
+
+    return df.withColumn(out, _hash(F.col(col)))
+
+
+def image_neardup_pairs(df: DataFrame, col: str = "image",
+                        id_col: str = "doc_id", kind: str = "dhash",
+                        max_hamming: int = 7, bands: int = 8) -> DataFrame:
+    """Near-duplicate image pairs: perceptual hash → ``bands`` byte
+    bands → bucket join → exact popcount filter.
+
+    EXACT for ``max_hamming < bands`` (pigeonhole: two hashes within
+    that Hamming distance must agree on at least one whole band, so no
+    qualifying pair can miss every bucket); wider radii are best-effort
+    and rejected here to keep the contract honest.  Single-pass plan
+    (the round-5 dedup shape): one hash computation, groupBy(band,
+    value) → sorted (id, hash) lists → explode i<j pairs →
+    ``bit_count(xor) <= max_hamming`` — never a hash self-join.
+    → (id_a, id_b, hamming)."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > {max_hamming} bands for "
+            f"the pigeonhole completeness guarantee (got {bands})")
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    hashed = (image_hashes(df, col, kind, "h")
+              .filter(F.col("h").isNotNull())
+              .select(id_col, "h"))
+    band_arr = F.array(*[
+        F.shiftrightunsigned(F.col("h"), b * width).bitwiseAND(F.lit(mask))
+        for b in range(bands)
+    ])
+    allb = hashed.select(id_col, "h",
+                         F.posexplode(band_arr).alias("band", "val"))
+    buckets = (allb.groupBy("band", "val")
+               .agg(F.sort_array(F.collect_set(F.struct(
+                   F.col(id_col).alias("id"), F.col("h").alias("h"))))
+                   .alias("ms"))
+               .filter(F.size("ms") > 1))
+    pair_sql = (
+        "flatten(transform(ms, (a, i) -> "
+        "transform(slice(ms, i + 2, size(ms)), "
+        "b -> struct(a.id AS id_a, b.id AS id_b, a.h AS ha, b.h AS hb))))"
+    )
+    return (buckets.select(F.explode(F.expr(pair_sql)).alias("p"))
+            .select("p.id_a", "p.id_b",
+                    F.bit_count(F.col("p.ha").bitwiseXOR(F.col("p.hb")))
+                    .alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())

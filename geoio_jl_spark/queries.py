@@ -1532,6 +1532,52 @@ FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
 # order-by-position concatenation.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Q: image near-dup (round 5) — dHash + Hamming-bucket join over REAL
+# PNG bytes: each doc_id mints a deterministic 9×8 grayscale PNG with
+# the engine's own codec (25 pixel clusters + a 1-pixel per-doc
+# perturbation, ≤2 dHash bits), the operator decodes/hashes/joins, and
+# the DuckDB oracle replays the pixel arithmetic and bit comparisons
+# in pure SQL — so the oracle checks the hash+join math while the
+# Spark path additionally exercises encode_png→decode_png byte-exact.
+# ---------------------------------------------------------------------------
+
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoio_jl_spark.operators.multimodal import (image_neardup_pairs,
+                                                     synthetic_cluster_pngs)
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    imgs = synthetic_cluster_pngs(docs)
+    return image_neardup_pairs(imgs, max_hamming=7, bands=8)
+
+
+_SQL_IMAGE_NEARDUP = """
+WITH px AS (
+  SELECT doc_id, j, i,
+         least(((doc_id % 25) * 97 + i + 9 * j + 1)
+               * ((doc_id % 25) * 89 + i * 7 + j * 3 + 7) % 251
+               + CASE WHEN i = doc_id % 9 AND j = doc_id % 8
+                      THEN 50 ELSE 0 END, 255) AS p
+  FROM documents,
+       unnest(generate_series(0, 7)) AS a(j),
+       unnest(generate_series(0, 8)) AS b(i)
+),
+bits AS (
+  SELECT l.doc_id, l.j, l.i, CASE WHEN r.p > l.p THEN 1 ELSE 0 END AS bit
+  FROM px l JOIN px r ON r.doc_id = l.doc_id AND r.j = l.j AND r.i = l.i + 1
+  WHERE l.i < 8
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS ham
+  FROM bits a
+  JOIN bits b ON a.j = b.j AND a.i = b.i AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(ham AS INT) AS hamming
+FROM pairs WHERE ham <= 7
+"""
+
+
 _MODIS_R = 6371007.181  # MODIS authalic sphere radius (SR-ORG:6974)
 
 
@@ -1827,6 +1873,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "lambert93": (q_lambert93, _sql_lambert93()),
         "rd_new": (q_rd_new, _sql_rd_new()),
         "sinusoidal": (q_sinusoidal, _SQL_SINUSOIDAL),
+        "image_neardup": (q_image_neardup, _SQL_IMAGE_NEARDUP),
         "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
         "chunk_removed": (q_chunk_removed, _SQL_CHUNK_REMOVED),
         "vocab_topk": (q_vocab_topk, _SQL_VOCAB_TOPK),

@@ -135,3 +135,57 @@ def test_real_wav_audio_features(spark):
     assert abs(peak - 0.5) < 1e-3
     assert abs(zcr - 2 * 440 / rate) < 1e-3     # 2f crossings/sec
     assert feats[2] is None
+
+
+# ---------------------------------------------------------------------------
+# image near-dup (round 5): dHash / pHash + Hamming-bucket join
+# ---------------------------------------------------------------------------
+
+def test_dhash_hand_case_and_brightness_invariance():
+    # 8x9 gray where every row strictly increases -> all 64 bits set
+    g = np.tile(np.arange(9, dtype=np.uint8) * 10, (8, 1))[:, :, None]
+    assert M.dhash64(g) == -1  # 64 ones reinterpreted signed
+    # strictly decreasing -> all zero
+    assert M.dhash64(g[:, ::-1]) == 0
+    # uniform brightness shift never flips a comparison
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 200, (16, 18, 1)).astype(np.uint8)
+    assert M.dhash64(a) == M.dhash64(np.minimum(a + 40, 255))
+    assert M.phash64(a) == M.phash64(np.minimum(a + 40, 255))
+
+
+def test_phash_detects_structure_not_noise():
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 255, (64, 64, 1)).astype(np.uint8)
+    b = a.copy()
+    b[5, 7, 0] = (int(b[5, 7, 0]) + 60) % 255  # single-pixel nudge
+    ham = bin((M.phash64(a) ^ M.phash64(b)) & (2**64 - 1)).count("1")
+    assert ham <= 4
+    c = rng.integers(0, 255, (64, 64, 1)).astype(np.uint8)
+    ham2 = bin((M.phash64(a) ^ M.phash64(c)) & (2**64 - 1)).count("1")
+    assert ham2 > 16
+
+
+def test_image_neardup_planted(spark):
+    """Planted pair: same base image, one perturbed pixel (<=2 dHash
+    bits) must pair up; an unrelated image must not."""
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 200, (8, 9, 1)).astype(np.uint8)
+    near = base.copy()
+    near[4, 4, 0] += 55
+    other = rng.integers(0, 255, (8, 9, 1)).astype(np.uint8)
+    from geoio_jl_spark.sources.img import encode_png
+    rows = [(1, encode_png(base)), (2, encode_png(near)),
+            (3, encode_png(other)), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, image binary")
+    got = M.image_neardup_pairs(df, max_hamming=7, bands=8).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in got}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 2
+    assert all(k == (1, 2) for k in pairs)
+
+
+def test_image_neardup_guards():
+    with pytest.raises(ValueError, match="pigeonhole"):
+        M.image_neardup_pairs(None, max_hamming=8, bands=8)
+    with pytest.raises(ValueError, match="divide"):
+        M.image_neardup_pairs(None, max_hamming=2, bands=7)
