@@ -133,14 +133,17 @@ def _query_rects(qrows, stats: dict, k: int, e: int):
     total = sum(stats.values())
     if not stats:
         return []
-    occ_x = [c[0] for c in stats]
-    occ_y = [c[1] for c in stats]
+    min_x = min(c[0] for c in stats)
+    max_x = max(c[0] for c in stats)
+    min_y = min(c[1] for c in stats)
+    max_y = max(c[1] for c in stats)
     rects = []
     for q_id, qx, qy in qrows:
         qcx, qcy = qx // e, qy // e
-        # worst-case ring: covers every occupied cell from this query cell
-        r_cap = max(max(abs(x - qcx) for x in occ_x),
-                    max(abs(y - qcy) for y in occ_y))
+        # worst-case ring: covers every occupied cell from this query
+        # cell (bounds precomputed once — O(1) per query, not O(|cells|))
+        r_cap = max(abs(min_x - qcx), abs(max_x - qcx),
+                    abs(min_y - qcy), abs(max_y - qcy))
         need = min(k, total)
         cum = stats.get((qcx, qcy), 0)
         r = 0
@@ -171,17 +174,57 @@ def collect_cell_stats(points: DataFrame, res: int,
 
 def _merge_rects(boxes: list, max_clauses: int) -> list:
     """Driver-side planning: collapse per-query rectangles into at most
-    ``max_clauses`` disjoint-ish boxes for the scan-pushdown disjunction.
-    First merge every overlapping pair to a fixpoint, then greedily merge
-    the pair whose union bounding box wastes the least area until the
-    clause budget holds.  Merging only ever GROWS coverage, so the
-    pushdown stays a superset of the exact per-query rectangles
-    (correctness comes from the broadcast-join predicates downstream)."""
-    boxes = [tuple(b) for b in boxes]
+    ``max_clauses`` boxes for the scan-pushdown disjunction.
+
+    Two phases (r5 — the r4 greedy min-waste pass alone rescanned all
+    O(n²) pairs per removal, O(n³) overall: a dispersed 10⁴-query
+    batch could stall the driver for minutes):
+
+    1. O(n log n) grid coarsening down to 4×budget: bucket boxes by
+       center cell at a doubling cell size, union per bucket —
+       spatially clustered queries (the common case) collapse to one
+       tight box per cluster in the first rounds.
+    2. The exact greedy min-waste merge from 4×budget down to the
+       budget — now bounded work on <= 4·max_clauses boxes, keeping
+       the fine-grained budget-filling behavior the coarse grid alone
+       can overshoot (a doubling step can jump from budget+1 straight
+       to 1 box).
+
+    A final fixpoint overlap-merge removes redundant clauses.  Merging
+    only ever GROWS coverage, so the pushdown stays a superset of the
+    exact per-query rectangles (correctness comes from the
+    broadcast-join predicates downstream)."""
+    boxes = list({tuple(int(v) for v in b) for b in boxes})
+    if not boxes:
+        return []
 
     def union(a, b):
         return (min(a[0], b[0]), max(a[1], b[1]),
                 min(a[2], b[2]), max(a[3], b[3]))
+
+    s = max(1, min(b[1] - b[0] for b in boxes))
+    while len(boxes) > 4 * max_clauses:
+        buckets: dict = {}
+        for b in boxes:
+            key = ((b[0] + b[1]) // (2 * s), (b[2] + b[3]) // (2 * s))
+            cur = buckets.get(key)
+            buckets[key] = b if cur is None else union(cur, b)
+        boxes = sorted(buckets.values())
+        s *= 2
+    while len(boxes) > max_clauses:
+        best, bi, bj = None, 0, 1
+        for i in range(len(boxes)):
+            for j in range(i + 1, len(boxes)):
+                u = union(boxes[i], boxes[j])
+                waste = ((u[1] - u[0]) * (u[3] - u[2])
+                         - (boxes[i][1] - boxes[i][0])
+                         * (boxes[i][3] - boxes[i][2])
+                         - (boxes[j][1] - boxes[j][0])
+                         * (boxes[j][3] - boxes[j][2]))
+                if best is None or waste < best:
+                    best, bi, bj = waste, i, j
+        boxes[bi] = union(boxes[bi], boxes[bj])
+        del boxes[bj]
 
     def overlaps(a, b):
         return a[0] <= b[1] and b[0] <= a[1] and a[2] <= b[3] and b[2] <= a[3]
@@ -199,20 +242,6 @@ def _merge_rects(boxes: list, max_clauses: int) -> list:
             else:
                 out.append(b)
         boxes = out
-    while len(boxes) > max_clauses:
-        best, bi, bj = None, 0, 1
-        for i in range(len(boxes)):
-            for j in range(i + 1, len(boxes)):
-                u = union(boxes[i], boxes[j])
-                waste = ((u[1] - u[0]) * (u[3] - u[2])
-                         - (boxes[i][1] - boxes[i][0])
-                         * (boxes[i][3] - boxes[i][2])
-                         - (boxes[j][1] - boxes[j][0])
-                         * (boxes[j][3] - boxes[j][2]))
-                if best is None or waste < best:
-                    best, bi, bj = waste, i, j
-        boxes[bi] = union(boxes[bi], boxes[bj])
-        del boxes[bj]
     return boxes
 
 

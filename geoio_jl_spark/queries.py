@@ -162,20 +162,40 @@ def q_knn_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_STATS_CACHE: dict = {}
 
 
+def _layout_fingerprint(sf_dir: str, table: str) -> tuple:
+    """Parquet layout snapshot id: sorted (name, mtime_ns, size) of the
+    table's files.  Keying the stats memo on this (r5 ADVICE fix) makes
+    an in-process rewrite of the table invalidate the cached cell stats
+    instead of silently planning rectangles against a stale layout."""
+    import os as _os
+    path = _os.path.join(sf_dir, f"{table}.parquet")
+    if _os.path.isdir(path):
+        names = sorted(_os.listdir(path))
+        return tuple((n, _os.stat(_os.path.join(path, n)).st_mtime_ns,
+                      _os.stat(_os.path.join(path, n)).st_size)
+                     for n in names if not n.startswith((".", "_")))
+    st = _os.stat(path)
+    return ((path, st.st_mtime_ns, st.st_size),)
+
+
 def q_knn_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same result via the scan-pruned probe: cell-count stats →
     neighbor_cells ring expansion → per-query rectangles pushed into the
     scan as an OR-of-boxes (the reference's R-tree probe role,
     gpkg.jl:411-448).  The stats dict is computed once per layout and
-    memoized — the compute-once-per-layout contract; repeated query
-    batches (and the bench) pay zero extra Spark actions."""
-    key = (sf_dir, 3)
+    memoized keyed on a file-level layout fingerprint — the
+    compute-once-per-layout contract; repeated query batches (and the
+    bench) pay zero extra Spark actions, while a rewritten table gets
+    fresh stats.  Only layout stats are cached; the query batch is
+    re-read per call (it is a cheap 25-row collect)."""
+    key = (_layout_fingerprint(sf_dir, "documents"), 3)
     if key not in _KNN_STATS_CACHE:
-        _KNN_STATS_CACHE[key] = (
-            KNN.collect_cell_stats(_docs_points(spark, sf_dir), res=3),
-            [(r[0], r[1], r[2]) for r in _query_points(spark, sf_dir)
-             .select("query_id", "qx", "qy").collect()])
-    stats, qrows = _KNN_STATS_CACHE[key]
+        _KNN_STATS_CACHE.clear()   # one layout per table path at a time
+        _KNN_STATS_CACHE[key] = KNN.collect_cell_stats(
+            _docs_points(spark, sf_dir), res=3)
+    stats = _KNN_STATS_CACHE[key]
+    qrows = [(r[0], r[1], r[2]) for r in _query_points(spark, sf_dir)
+             .select("query_id", "qx", "qy").collect()]
     return KNN.knn_join_pruned(
         _docs_points(spark, sf_dir), qrows, k=5, cell_stats=stats
     )
@@ -1291,17 +1311,27 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = (emb.orderBy("vec_id").limit(5)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("qe")))
-    res = ivf_search(assigned, centroids, queries, k=5, n_probe=3)
+    # k margin (8 > final 5): the emitted rank is recomputed from the
+    # FOLD cosine below (r5 ADVICE fix) — reusing the numpy-derived
+    # rank could order a last-ulp tie differently from the oracle's
+    # fold ranking; the margin keeps the numpy top-k truncation
+    # boundary far from the final cut
+    res = ivf_search(assigned, centroids, queries, k=8, n_probe=3)
     # hash-stable cos: re-derive through the JVM fold over the raw
-    # vectors (the numpy value ranked the candidates; the fold value is
-    # what both engines can reproduce bit-for-bit)
+    # vectors (the numpy value preselected candidates; the fold value
+    # is what both engines reproduce bit-for-bit, and it now also
+    # drives the emitted rank)
     dot = F.expr(_DOT.format(a="embedding", b="qe"))
     na = F.expr(_DOT.format(a="embedding", b="embedding"))
     nb = F.expr(_DOT.format(a="qe", b="qe"))
-    return (res.drop("cos")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("vec_id").asc())
+    return (res.drop("cos", "rank")
             .join(emb.select("vec_id", "embedding"), "vec_id")
             .join(F.broadcast(queries), "query_id")
             .withColumn("cos", dot / (F.sqrt(na) * F.sqrt(nb)))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
             .select("query_id", "vec_id", "cos", "rank"))
 
 

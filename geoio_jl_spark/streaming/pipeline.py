@@ -131,7 +131,7 @@ def sessionize(stream: DataFrame, gap_seconds: int = 1800,
 def sessionize_sharded(stream: DataFrame, gap_seconds: int = 1800,
                        shard_seconds: int | None = None,
                        user_col: str = "user_id", ts_col: str = "ts",
-                       use_timeout: bool = False) -> DataFrame:
+                       use_timeout: bool = True) -> DataFrame:
     """Skew-safe streaming sessionization — the streaming port of the
     time-bucket machinery in operators/sessionize.py.
 
@@ -151,8 +151,11 @@ def sessionize_sharded(stream: DataFrame, gap_seconds: int = 1800,
 
     Emits one row per CLOSED partial: (user_id, shard, session_start_us,
     session_end_us, n_events).  The trailing partial of each (user,
-    shard) stays in state until the timeout closes it (same contract as
-    ``sessionize``).
+    shard) stays in state until the processing-time timeout closes it —
+    ON by default (r5 ADVICE fix: with NoTimeout a quiesced shard's
+    trailing session never closed and its state never freed; pass
+    ``use_timeout=False`` only for single-batch replay tests where no
+    later batch exists to fire the timeout).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

@@ -264,3 +264,43 @@ def test_pruned_with_precollected_stats_dict(spark):
     a = KNN.knn_join_pruned(pts, qs, k=7, cell_stats=stats).collect()
     b = KNN.knn_join_pruned(pts, qs, k=7).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_merge_rects_large_batch_fast():
+    """r5: planning for a dispersed 10^4-query batch must stay
+    sub-second on the driver (the r4 greedy pass was O(n^3)) and the
+    coarsened boxes must still cover every input rectangle."""
+    import random
+    import time
+
+    from geoio_jl_spark.operators.knn import _merge_rects
+    rng = random.Random(42)
+    boxes = []
+    for _ in range(10_000):
+        x = rng.randrange(-1_800_000, 1_800_000)
+        y = rng.randrange(-850_000, 850_000)
+        boxes.append((x, x + rng.randrange(100, 5000),
+                      y, y + rng.randrange(100, 5000)))
+    t0 = time.time()
+    out = _merge_rects(boxes, 32)
+    dt = time.time() - t0
+    assert dt < 1.0, f"planning took {dt:.2f}s"
+    assert len(out) <= 32
+    for (xl, xh, yl, yh) in boxes:
+        assert any(oxl <= xl and xh <= oxh and oyl <= yl and yh <= oyh
+                   for (oxl, oxh, oyl, oyh) in out), (xl, xh, yl, yh)
+
+
+def test_merge_rects_clustered_stays_tight():
+    """Two antipodal clusters must NOT collapse into one world box
+    while the budget allows two."""
+    from geoio_jl_spark.operators.knn import _merge_rects
+    west = [(-1_700_000 + i * 10, -1_699_000 + i * 10,
+             -100 + i, 900 + i) for i in range(50)]
+    east = [(1_600_000 + i * 10, 1_601_000 + i * 10,
+             40_000 + i, 41_000 + i) for i in range(50)]
+    out = _merge_rects(west + east, 8)
+    assert 2 <= len(out) <= 8
+    # no output box spans both hemispheres
+    assert all(not (xl < -1_000_000 and xh > 1_000_000)
+               for (xl, xh, yl, yh) in out)

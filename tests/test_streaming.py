@@ -140,3 +140,14 @@ def test_stream_url_dedup_canonical_variants_collapse(spark, tmp_path):
     got = spark.sql("SELECT canon_url FROM url_stream").collect()
     assert sorted(r["canon_url"] for r in got) == [
         "https://a.com/p?id=1", "https://a.com/p?id=2", "https://b.org/q"]
+
+
+def test_sessionize_sharded_timeout_default_on():
+    """r5 ADVICE fix: the trailing-partial timeout must be the default —
+    NoTimeout leaves quiesced shards' sessions open (and their state
+    resident) forever in production."""
+    import inspect
+
+    from geoio_jl_spark.streaming.pipeline import sessionize_sharded
+    assert inspect.signature(sessionize_sharded) \
+        .parameters["use_timeout"].default is True
