@@ -38,7 +38,7 @@ HEADLINE = [
     "ngram_jaccard_capped", "simhash",
     "cosine_topk", "embedding_near_dup", "image_neardup", "events_window", "events_rollup",
     "asof_join", "session_rollup", "bpe_tokens", "gopher_filter", "gopher_repetition",
-    "url_canonical", "url_dup_groups", "zorder_cells",
+    "url_canonical", "url_dup_groups", "quality_model_score", "zorder_cells",
     "mercator3395", "lambert93", "rd_new", "sinusoidal",
     "chunk_dedup", "chunk_removed",
     "vocab_topk", "raster_warp",

@@ -33,9 +33,14 @@ def shingles_from_tokens(toks_col: str, n: int = 3) -> str:
     every position — O(tokens²) per document, measured 20× slower at
     sf0.1. Use exploded_shingles for the two-step projection.)"""
     parts = ", ".join(f"element_at({toks_col}, i + {k})" for k in range(n))
+    # explicit short-doc guard: sequence(1, 0) DESCENDS in Spark
+    # ([1, 0]) and ANSI element_at throws on the out-of-range indices a
+    # < n-token doc would produce
     return (
-        f"transform(sequence(1, greatest(size({toks_col}) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', {parts}))"
+        f"CASE WHEN size({toks_col}) < {n} "
+        f"THEN CAST(array() AS array<string>) "
+        f"ELSE transform(sequence(1, size({toks_col}) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) END"
     )
 
 

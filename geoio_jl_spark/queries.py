@@ -1563,6 +1563,25 @@ FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
+# Q: quality-model score (round 5) — hashed-bigram linear classifier
+# (fastText analog) as a zero-shuffle projection: literal weight array
+# + one JVM `aggregate` fold per row; the DuckDB oracle replays the
+# identical model through the bit-stable left fold.
+# ---------------------------------------------------------------------------
+
+def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoio_jl_spark.functions.quality import hashed_bigram_score
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return (hashed_bigram_score(docs)
+            .select("doc_id", F.col("quality").alias("quality")))
+
+
+def _sql_quality_model() -> str:
+    from geoio_jl_spark.functions.quality import score_sql_duckdb
+    return f"SELECT doc_id, {score_sql_duckdb()} AS quality FROM documents"
+
+
+# ---------------------------------------------------------------------------
 # Q: image near-dup (round 5) — dHash + Hamming-bucket join over REAL
 # PNG bytes: each doc_id mints a deterministic 9×8 grayscale PNG with
 # the engine's own codec (25 pixel clusters + a 1-pixel per-doc
@@ -1904,6 +1923,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "rd_new": (q_rd_new, _sql_rd_new()),
         "sinusoidal": (q_sinusoidal, _SQL_SINUSOIDAL),
         "image_neardup": (q_image_neardup, _SQL_IMAGE_NEARDUP),
+        "quality_model_score": (q_quality_model, _sql_quality_model()),
         "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
         "chunk_removed": (q_chunk_removed, _SQL_CHUNK_REMOVED),
         "vocab_topk": (q_vocab_topk, _SQL_VOCAB_TOPK),

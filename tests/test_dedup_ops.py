@@ -218,3 +218,13 @@ def test_remove_dup_chunks_reconstructs(spark, sf_dir):
                 rebuilt.extend(clean_toks[ci:ci + L]); ci += L
         rebuilt.extend(clean_toks[ci:])
         assert rebuilt == t
+
+
+def test_shingles_short_docs_ansi_safe(spark):
+    """r5 hardening: sub-n-token docs must yield zero shingles, not an
+    ANSI element_at error (sequence(1, 0) descends in Spark)."""
+    import pandas as pd
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3], "text": ["one", "two words", "a b c"]}))
+    rows = DD.exploded_shingles(docs, n=3).collect()
+    assert {r["doc_id"] for r in rows} == {3}
