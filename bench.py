@@ -91,7 +91,7 @@ def run_headline(sf_dir: str, cores: int) -> dict:
     # flagship pipeline (docs/sec) over the materialized pages table
     pages = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_data", "webpages_2m.parquet")
-    ensure_pages(2_000_000, pages)
+    ensure_pages(2_000_000, pages, spark=spark)
     flagship_pipeline(spark, pages)  # warmup
     n, secs = flagship_pipeline(spark, pages)
     n2, secs2 = flagship_pipeline(spark, pages)
@@ -152,19 +152,29 @@ def run_headline(sf_dir: str, cores: int) -> dict:
     return out
 
 
-def ensure_pages(n: int, path: str) -> None:
+def ensure_pages(n: int, path: str, spark=None) -> None:
     """Materialize the Common-Crawl-style input once (generation is test
     scaffolding — a real deployment reads the Iceberg table, so the timed
-    region starts at the scan)."""
+    region starts at the scan).
+
+    Reuses the caller's session when given: local mode shares ONE
+    SparkContext per JVM, so creating a second session here and stopping
+    it would stop the caller's context too (getOrCreate returns the same
+    underlying context) and every later read would fail with "Cannot call
+    methods on a stopped SparkContext"."""
     if os.path.exists(path):
         return
     from geoio_jl_spark.datagen import webpages
     from geoio_jl_spark.session import get_spark
-    spark = get_spark("bench_prep", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-                      driver_memory="48g",
-                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    own = spark is None
+    if own:
+        spark = get_spark(
+            "bench_prep", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            driver_memory="48g",
+            extra_conf={"spark.ui.showConsoleProgress": "false"})
     webpages(spark, n, skew=True, partitions=64).write.mode("overwrite").parquet(path)
-    spark.stop()
+    if own:
+        spark.stop()
 
 
 def run_scaling() -> None:
