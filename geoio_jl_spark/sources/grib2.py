@@ -111,7 +111,7 @@ def _decode_message(msg: bytes, discipline: int) -> dict:
                     "level": level}
         elif sec == 5:
             tmpl = _i(s, 9, 2)
-            if tmpl not in (0, 2, 3, 41):
+            if tmpl not in (0, 2, 3, 40, 41):
                 raise ValueError(f"unsupported packing template 5.{tmpl}")
             pack = {
                 "tmpl": tmpl,
@@ -138,6 +138,11 @@ def _decode_message(msg: bytes, discipline: int) -> dict:
                 if pack["order"] not in (1, 2):
                     raise ValueError(
                         f"spatial differencing order {pack['order']}")
+            if tmpl == 40:      # JPEG 2000 code-stream packing
+                if s[21] != 0:  # 0 = lossless, 1 = lossy (9/7 wavelet)
+                    raise ValueError(
+                        f"template 5.40 compression type {s[21]} "
+                        "unsupported (only 0 = lossless)")
         elif sec == 6:
             if s[5] == 0:  # bitmap present in this section
                 bits = np.unpackbits(
@@ -147,6 +152,8 @@ def _decode_message(msg: bytes, discipline: int) -> dict:
             data = s[5:]
             if pack["tmpl"] == 0:
                 vals = _unpack_simple(data, pack)
+            elif pack["tmpl"] == 40:
+                vals = _unpack_j2k(data, pack)
             elif pack["tmpl"] == 41:
                 vals = _unpack_png(data, pack)
             else:
@@ -256,6 +263,29 @@ def _unpack_complex(data: bytes, pack: dict) -> np.ndarray:
                 x[1] = ivals[1]
         out = x
     return (pack["R"] + out * (2.0 ** pack["E"])) * (10.0 ** -pack["D"])
+
+
+def _unpack_j2k(data: bytes, pack: dict) -> np.ndarray:
+    """JPEG 2000 packing (template 5.40, the other packing NCEP archives
+    use besides PNG 5.41): section 7 carries a raw lossless JPEG 2000
+    codestream of the scaled integers X (g2clib ``jpcpack``), decoded
+    with the repo's own minimal Part-1 decoder (sources/j2k.py).  The
+    image shape is encoder-chosen, so values are consumed in raster
+    order and checked against the header count.  The reference reaches
+    this template through eccodes (src/extra/cdm.jl:5)."""
+    n, nbits = pack["n"], pack["nbits"]
+    if nbits == 0 or not data:
+        x = np.zeros(n, dtype=np.int64)
+    else:
+        from geoio_jl_spark.sources.j2k import decode_j2k
+        img, _info = decode_j2k(bytes(data))
+        x = img.ravel()
+        if len(x) != n:
+            raise ValueError(
+                f"template 5.40 codestream carries {len(x)} values, "
+                f"header says {n}")
+    # WMO: Y × 10^D = R + X × 2^E  (the decimal scale divides R too)
+    return (pack["R"] + x * (2.0 ** pack["E"])) * (10.0 ** -pack["D"])
 
 
 def _unpack_png(data: bytes, pack: dict) -> np.ndarray:

