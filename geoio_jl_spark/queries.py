@@ -1870,6 +1870,71 @@ FROM idx
 
 
 # ---------------------------------------------------------------------------
+# Q: PII redaction (C4/Dolma-style scrubbing).  The synthetic corpus
+# contains no PII, so both engines plant identical deterministic
+# doc_id-derived spans first (every 3rd doc an email, 5th a phone, 7th
+# an IPv4) — the regex kernel then redacts real matches.  Patterns live
+# in operators/pii.py and are written in the Java-regex ∩ RE2 subset so
+# the byte-identical pattern runs on both engines.
+# ---------------------------------------------------------------------------
+
+
+def _planted_pii(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    extra = F.concat_ws(
+        " ",
+        F.when(did % 3 == 0, F.concat(
+            F.lit("user"), ids, F.lit("@mail.example.com"))),
+        F.when(did % 5 == 0, F.concat(
+            F.lit("+1 555 010 "),
+            F.lpad((did % 10000).cast("string"), 4, "0"))),
+        F.when(did % 7 == 0, F.concat(
+            F.lit("10."), (did % 200).cast("string"), F.lit(".0."),
+            (did % 250 + 1).cast("string"))),
+    )
+    return docs.select(
+        "doc_id", F.concat("text", F.lit(" "), extra).alias("text"))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoio_jl_spark.operators.pii import redact_pii
+    docs = _planted_pii(_read(spark, sf_dir, "documents"))
+    return redact_pii(docs).select(
+        "doc_id", "clean_text", "n_emails", "n_phones", "n_ips")
+
+
+def _sql_pii_redact() -> str:
+    from geoio_jl_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         concat(text, ' ', concat_ws(' ',
+           CASE WHEN doc_id % 3 = 0 THEN
+             concat('user', CAST(doc_id AS VARCHAR), '@mail.example.com')
+           END,
+           CASE WHEN doc_id % 5 = 0 THEN
+             concat('+1 555 010 ',
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+           END,
+           CASE WHEN doc_id % 7 = 0 THEN
+             concat('10.', CAST(doc_id % 200 AS VARCHAR), '.0.',
+                    CAST(doc_id % 250 + 1 AS VARCHAR))
+           END)) AS t
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(t,
+         '{EMAIL_RE}', '<EMAIL>', 'g'),
+         '{PHONE_RE}', '<PHONE>', 'g'),
+         '{IPV4_RE}', '<IP>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{IPV4_RE}')) AS INT) AS n_ips
+FROM planted
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1926,6 +1991,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "quality_model_score": (q_quality_model, _sql_quality_model()),
         "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
         "chunk_removed": (q_chunk_removed, _SQL_CHUNK_REMOVED),
+        "pii_redact": (q_pii_redact, _sql_pii_redact()),
         "vocab_topk": (q_vocab_topk, _SQL_VOCAB_TOPK),
         "ivf_topk": (q_ivf_topk, _sql_ivf_topk()),
         "session_rollup": (q_session_rollup, _sql_session_rollup()),
