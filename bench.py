@@ -40,7 +40,8 @@ HEADLINE = [
     "asof_join", "session_rollup", "bpe_tokens", "gopher_filter", "gopher_repetition",
     "url_canonical", "url_dup_groups", "quality_model_score", "zorder_cells",
     "mercator3395", "lambert93", "rd_new", "sinusoidal",
-    "chunk_dedup", "chunk_removed", "pii_redact",
+    "chunk_dedup", "chunk_removed", "pii_redact", "decontaminate",
+    "mix_sample",
     "vocab_topk", "raster_warp",
 ]
 

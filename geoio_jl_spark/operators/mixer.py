@@ -1,0 +1,38 @@
+"""Deterministic data mixing — per-source weighted subsampling, the
+"domain weights" step of training-data assembly (e.g. sampling web text
+down while keeping books/code at full rate).
+
+No reference counterpart (LLM-pipeline axis of the brief).  Scale shape:
+a pure per-row filter — no shuffle, no RNG state, no driver round-trips.
+Each row draws a deterministic uniform from a Knuth multiplicative hash
+of its id, so the decision is reproducible across runs, executors and
+retries (unlike ``DataFrame.sample``, whose per-partition seeds change
+with the partition layout), and the same row is kept or dropped no
+matter how the 100-TB input is split.  The arithmetic stays inside
+int64 under ANSI mode: (id % 2^31) * 2654435761 < 2^62.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_KNUTH = 2654435761          # 2^32 / golden ratio, Knuth §6.4
+_M32 = 4294967296            # 2^32
+
+
+def sample_uniform(key: Column) -> Column:
+    """Deterministic 32-bit uniform in [0, 2^32) from an integer key."""
+    return ((key.cast("bigint") % _M32 % 2147483648) * _KNUTH) % _M32
+
+
+def weighted_sample(df: DataFrame, weights: dict[str, float],
+                    strat_col: str = "source",
+                    key_col: str = "doc_id",
+                    default: float = 1.0) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically."""
+    thresh = F.lit(int(default * _M32))
+    for src, w in weights.items():
+        thresh = F.when(F.col(strat_col) == src,
+                        F.lit(int(w * _M32))).otherwise(thresh)
+    return df.filter(sample_uniform(F.col(key_col)) < thresh)

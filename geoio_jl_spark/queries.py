@@ -1935,6 +1935,76 @@ FROM planted
 
 
 # ---------------------------------------------------------------------------
+# Q: benchmark decontamination — docs sharing any 4-gram with the eval
+# split (doc_id % 97 == 0) are flagged; n_overlap counts distinct shared
+# grams.  The eval gram set is broadcast (operators/decontaminate.py);
+# the driver query uses the exact string path, the xxhash64 path is
+# tested equivalent in tests/test_decontaminate.py.
+# ---------------------------------------------------------------------------
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoio_jl_spark.operators.decontaminate import decontaminate
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, n=4)
+
+
+_SQL_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bench AS (
+  SELECT DISTINCT array_to_string(t[i+1 : i+4], ' ') AS gram
+  FROM toks, unnest(generate_series(0, len(t) - 4)) AS s(i)
+  WHERE doc_id % 97 = 0
+),
+train AS (
+  SELECT doc_id, array_to_string(t[i+1 : i+4], ' ') AS gram
+  FROM toks, unnest(generate_series(0, len(t) - 4)) AS s(i)
+),
+hits AS (
+  SELECT doc_id, count(DISTINCT train.gram) AS n
+  FROM train JOIN bench USING (gram)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS INT) AS n_overlap,
+       CAST(coalesce(h.n, 0) > 0 AS INT) AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: deterministic data mixing — per-source weighted subsample with a
+# Knuth-hash uniform (operators/mixer.py), weights 1/(1 + idx%4) per
+# source.  Both engines evaluate the identical int64 arithmetic, so the
+# kept set is exact, not statistical.
+# ---------------------------------------------------------------------------
+
+
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoio_jl_spark.operators.mixer import weighted_sample
+    docs = _read(spark, sf_dir, "documents")
+    sources = [r["source"] for r in
+               docs.select("source").distinct().collect()]
+    weights = {s: 1.0 / (1 + int(s[3:]) % 4) for s in sources}
+    return (weighted_sample(docs, weights)
+            .groupBy("source")
+            .agg(F.count("*").cast("int").alias("kept")))
+
+
+_SQL_MIX_SAMPLE = """
+SELECT source, CAST(count(*) AS INT) AS kept
+FROM documents
+WHERE ((doc_id % 4294967296 % 2147483648) * 2654435761) % 4294967296 <
+      CAST(floor(4294967296 / (1 + CAST(substr(source, 4) AS INT) % 4))
+           AS BIGINT)
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1992,6 +2062,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
         "chunk_removed": (q_chunk_removed, _SQL_CHUNK_REMOVED),
         "pii_redact": (q_pii_redact, _sql_pii_redact()),
+        "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
+        "mix_sample": (q_mix_sample, _SQL_MIX_SAMPLE),
         "vocab_topk": (q_vocab_topk, _SQL_VOCAB_TOPK),
         "ivf_topk": (q_ivf_topk, _sql_ivf_topk()),
         "session_rollup": (q_session_rollup, _sql_session_rollup()),
