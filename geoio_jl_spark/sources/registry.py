@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from geoio_jl_spark.geoschema import GeoSchema, detect_geometry_column
 from geoio_jl_spark.sources import (
     csvgeo, geojson, geoparquet, geotiff, gpkg, grib2, gslib, img, meshtext,
-    msh, netcdf3, ply, shapefile, stl, vtk,
+    msh, netcdf3, ply, shapefile, stl, vtk, warc,
 )
 
 # extension → (reader, writer, kind, notes)
@@ -50,6 +50,7 @@ FORMATS = {
     ".vti": (vtk.read_vti, vtk.write_vti, "grid", "VTK XML image (mask -> SubGrid)"),
     ".vtr": (vtk.read_vtr, vtk.write_vtr, "grid", "VTK XML rectilinear (axis vectors)"),
     ".vts": (vtk.read_vts, vtk.write_vts, "grid", "VTK XML structured (curvilinear)"),
+    ".warc": (warc.read, warc.write, "table", "ISO 28500 web archive (+.warc.gz members)"),
 }
 
 
@@ -67,6 +68,8 @@ def formats() -> pd.DataFrame:
 
 def _dispatch(path: str):
     ext = os.path.splitext(path)[1].lower()
+    if ext == ".gz" and path.lower().endswith(".warc.gz"):
+        ext = ".warc"   # Common Crawl convention: per-record gzip members
     if ext not in FORMATS:
         raise ValueError(
             f"unsupported format {ext!r}; supported: {sorted(FORMATS)}"

@@ -1,0 +1,145 @@
+"""WARC reader/writer (ISO 28500) — the Common Crawl container format,
+the natural ingest for the web-text half of this engine (the reference's
+format-dispatch role, src/load.jl:88-158, extended to the LLM-pipeline
+axis; no geo counterpart).
+
+Distributed plan: ``binaryFile`` scan (one task per archive segment —
+Common Crawl ships crawls as tens of thousands of ~1 GB ``.warc.gz``
+segments, so file-level parallelism saturates any cluster) →
+``mapInPandas`` record parser (Arrow batches, pure Python record walk
+per file).  ``.warc.gz`` uses the standard record-at-a-time gzip-member
+convention; ``gzip.decompress`` consumes concatenated members in one
+call.  A production deployment wanting sub-file splits would index
+member offsets first (cdx-style) — noted here, not needed while the
+per-file unit already yields ~10^4-way parallelism per crawl.
+
+For ``response`` records carrying ``application/http`` the HTTP headers
+are split off: ``payload`` is the body, ``http_status`` the status code.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+SCHEMA = T.StructType([
+    T.StructField("record_id", T.StringType()),
+    T.StructField("warc_type", T.StringType()),
+    T.StructField("target_uri", T.StringType()),
+    T.StructField("warc_date", T.StringType()),
+    T.StructField("content_type", T.StringType()),
+    T.StructField("http_status", T.IntegerType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("file", T.StringType()),
+])
+
+
+def parse_warc_bytes(data: bytes, fname: str = "") -> list[dict]:
+    """Parse one (decompressed) WARC file into record dicts."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)     # concatenated members OK
+    out = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # tolerate inter-record blank lines
+        while pos < n and data[pos:pos + 2] in (b"\r\n", b"\n\n"):
+            pos += 2
+        if pos >= n:
+            break
+        if not data[pos:pos + 5] == b"WARC/":
+            raise ValueError(
+                f"{fname}: expected WARC version line at byte {pos}")
+        hdr_end = data.index(b"\r\n\r\n", pos)
+        headers = {}
+        hdr_text = data[pos:hdr_end].decode("utf-8", "replace")
+        for line in hdr_text.split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        clen = int(headers.get("content-length", "0"))
+        block = data[hdr_end + 4:hdr_end + 4 + clen]
+        pos = hdr_end + 4 + clen
+        ctype = headers.get("content-type", "")
+        status = None
+        payload = block
+        if ctype.startswith("application/http") and block[:5] == b"HTTP/":
+            he = block.find(b"\r\n\r\n")
+            if he >= 0:
+                status_line = block[:block.find(b"\r\n")].decode(
+                    "latin-1", "replace").split()
+                if len(status_line) >= 2 and status_line[1].isdigit():
+                    status = int(status_line[1])
+                payload = block[he + 4:]
+        out.append({
+            "record_id": headers.get("warc-record-id"),
+            "warc_type": headers.get("warc-type"),
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "content_type": ctype or None,
+            "http_status": status,
+            "payload": payload,
+            "file": fname,
+        })
+    return out
+
+
+def read(spark: SparkSession, path: str) -> DataFrame:
+    files = (spark.read.format("binaryFile")
+             .load(path.rstrip("/") + ("/*" if os.path.isdir(path) else "")))
+
+    def _parse(batches):
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(parse_warc_bytes(bytes(content),
+                                             os.path.basename(fpath)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SCHEMA.fields])
+
+    return files.select("path", "content").mapInPandas(_parse, SCHEMA)
+
+
+def write(df: DataFrame, path: str, gzip_members: bool | None = None
+          ) -> None:
+    """Single-file sink (driver-side, like the other one-file formats):
+    rows → WARC/1.0 records.  Missing ids/dates get deterministic
+    fallbacks (urn:uuid from an md5 of position+uri; epoch date) so
+    round-trips are stable."""
+    if gzip_members is None:
+        gzip_members = path.endswith(".gz")
+    cols = df.columns
+    rows = df.collect()
+    with open(path, "wb") as f:
+        for i, r in enumerate(rows):
+            get = (lambda k, d=None: r[k] if k in cols else d)
+            payload = bytes(get("payload") or b"")
+            rid = get("record_id")
+            if not rid:
+                h = hashlib.md5(
+                    f"{i}|{get('target_uri') or ''}".encode()).hexdigest()
+                rid = (f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-"
+                       f"{h[16:20]}-{h[20:32]}>")
+            hdr = [b"WARC/1.0",
+                   b"WARC-Type: " + (get("warc_type")
+                                     or "resource").encode(),
+                   b"WARC-Record-ID: " + rid.encode(),
+                   b"WARC-Date: " + (get("warc_date")
+                                     or "1970-01-01T00:00:00Z").encode()]
+            if get("target_uri"):
+                hdr.append(b"WARC-Target-URI: " + get("target_uri").encode())
+            if get("content_type"):
+                hdr.append(b"Content-Type: " + get("content_type").encode())
+            hdr.append(b"Content-Length: " + str(len(payload)).encode())
+            rec = (b"\r\n".join(hdr) + b"\r\n\r\n" + payload + b"\r\n\r\n")
+            if gzip_members:
+                buf = io.BytesIO()
+                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                    g.write(rec)
+                rec = buf.getvalue()
+            f.write(rec)

@@ -1,0 +1,78 @@
+"""WARC source (sources/warc.py): round-trips, gzip members, HTTP
+payload split, dispatcher registration."""
+
+import gzip
+
+import pytest
+
+from geoio_jl_spark.sources import registry, warc
+
+
+def _sample_rows(spark):
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"<html><body>hello</body></html>")
+    return spark.createDataFrame(
+        [("response", "http://example.com/a", "application/http",
+          bytearray(http)),
+         ("response", "http://example.com/b", "application/http",
+          bytearray(b"HTTP/1.1 404 Not Found\r\n\r\nmissing")),
+         ("resource", "http://example.com/raw.txt", "text/plain",
+          bytearray(b"just bytes \x00\xff here"))],
+        "warc_type string, target_uri string, content_type string, "
+        "payload binary")
+
+
+@pytest.mark.parametrize("suffix", [".warc", ".warc.gz"])
+def test_roundtrip(spark, tmp_path, suffix):
+    p = str(tmp_path / f"crawl{suffix}")
+    warc.write(_sample_rows(spark), p)
+    got = {r["target_uri"]: r
+           for r in warc.read(spark, p).collect()}
+    assert len(got) == 3
+    a = got["http://example.com/a"]
+    assert a["warc_type"] == "response"
+    assert a["http_status"] == 200
+    assert bytes(a["payload"]) == b"<html><body>hello</body></html>"
+    b = got["http://example.com/b"]
+    assert b["http_status"] == 404
+    assert bytes(b["payload"]) == b"missing"
+    raw = got["http://example.com/raw.txt"]
+    assert raw["http_status"] is None          # not an HTTP envelope
+    assert bytes(raw["payload"]) == b"just bytes \x00\xff here"
+    assert all(r["record_id"].startswith("<urn:uuid:")
+               for r in got.values())
+
+
+def test_gz_members_are_individually_gzipped(spark, tmp_path):
+    """.warc.gz must be per-record gzip members (the Common Crawl
+    convention), i.e. several concatenated gzip streams."""
+    p = str(tmp_path / "c.warc.gz")
+    warc.write(_sample_rows(spark), p)
+    blob = open(p, "rb").read()
+    assert blob.count(b"\x1f\x8b\x08") >= 3
+    # and a plain gzip.decompress still reads all members
+    assert gzip.decompress(blob).count(b"WARC/1.0") == 3
+
+
+def test_directory_scan(spark, tmp_path):
+    for i in range(3):
+        warc.write(_sample_rows(spark), str(tmp_path / f"seg{i}.warc.gz"))
+    df = warc.read(spark, str(tmp_path))
+    assert df.count() == 9
+    assert df.select("file").distinct().count() == 3
+
+
+def test_dispatcher_load(spark, tmp_path):
+    p = str(tmp_path / "x.warc.gz")
+    warc.write(_sample_rows(spark), p)
+    df = registry.load(spark, p)
+    assert df.count() == 3
+    assert "payload" in df.columns
+
+
+def test_corrupt_raises(spark, tmp_path):
+    p = str(tmp_path / "bad.warc")
+    with open(p, "wb") as f:
+        f.write(b"NOT A WARC FILE AT ALL\r\n\r\n")
+    with pytest.raises(Exception, match="WARC version"):
+        warc.read(spark, p).collect()
