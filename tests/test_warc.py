@@ -76,3 +76,37 @@ def test_corrupt_raises(spark, tmp_path):
         f.write(b"NOT A WARC FILE AT ALL\r\n\r\n")
     with pytest.raises(Exception, match="WARC version"):
         warc.read(spark, p).collect()
+
+
+def test_warc_to_extraction_pipeline(spark, tmp_path):
+    """End-to-end ingest: Common-Crawl-shaped pages → .warc.gz segments →
+    WARC scan → html→text extraction (byte-identical against the
+    generator's reference text) → exact dedup."""
+    from pyspark.sql import functions as F
+
+    from geoio_jl_spark.datagen import webpages
+    from geoio_jl_spark.functions.textkernels import html_to_text
+    from geoio_jl_spark.operators.dedup import exact_duplicates
+
+    pages = webpages(spark, 200).select(
+        F.lit("response").alias("warc_type"),
+        F.col("url").alias("target_uri"),
+        F.lit("application/http").alias("content_type"),
+        F.concat(
+            F.lit(b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+            F.col("html")).alias("payload"),
+        F.col("text"))
+    ref = {r["target_uri"]: r["text"] for r in
+           pages.select("target_uri", "text").collect()}
+    warc.write(pages.drop("text"), str(tmp_path / "seg0.warc.gz"))
+
+    scanned = warc.read(spark, str(tmp_path / "seg0.warc.gz"))
+    extracted = scanned.select(
+        "target_uri",
+        html_to_text(F.col("payload")).alias("text"))
+    got = {r["target_uri"]: r["text"] for r in extracted.collect()}
+    assert got == ref                       # byte-identical through WARC
+
+    deduped = exact_duplicates(
+        extracted.withColumnRenamed("target_uri", "doc_id"))
+    assert deduped.count() <= 200
