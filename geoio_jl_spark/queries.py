@@ -2005,6 +2005,58 @@ GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# Q: BPE tokenizer training (operators/bpe.py) — 8 merge rounds over the
+# word-count table; the oracle unrolls the identical rounds in SQL (the
+# ivf_topk pattern: deterministic iteration, same count-desc / pair-asc
+# tie-break, same 6-pass replace kernel), so the learned merge list is
+# bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoio_jl_spark.operators.bpe import train_bpe
+    docs = _read(spark, sf_dir, "documents")
+    merges = train_bpe(docs, _BPE_MERGES)
+    rows = [(i + 1, p, c) for i, (p, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_idx int, pair string, pair_count bigint")
+
+
+def _sql_bpe_merges(n: int = _BPE_MERGES, passes: int = 6) -> str:
+    parts = ["""WITH w0 AS (
+  SELECT array_to_string(
+           [substring(word, x, 1) for x in
+            generate_series(1, length(word))], ' ') || ' </w>' AS sym,
+         cnt
+  FROM (SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY word))"""]
+    for r in range(n):
+        parts.append(f""",
+p{r} AS (
+  SELECT t[i+1] || ' ' || t[i+2] AS pair, sum(cnt) AS c
+  FROM (SELECT string_split(sym, ' ') AS t, cnt FROM w{r}),
+       unnest(generate_series(0, len(t) - 2)) AS g(i)
+  GROUP BY 1
+),
+b{r} AS (SELECT pair, c FROM p{r} ORDER BY c DESC, pair ASC LIMIT 1)""")
+        if r < n - 1:
+            expr = "' ' || sym || ' '"
+            for _ in range(passes):
+                expr = (f"replace({expr}, ' ' || b.pair || ' ', "
+                        "' ' || replace(b.pair, ' ', '') || ' ')")
+            parts.append(f""",
+w{r + 1} AS (SELECT trim({expr}) AS sym, cnt FROM w{r}, b{r} b)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r + 1} AS merge_idx, pair, CAST(c AS BIGINT) AS pair_count"
+        f" FROM b{r}" for r in range(n))
+    return "".join(parts) + "\n" + sel
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2064,6 +2116,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "pii_redact": (q_pii_redact, _sql_pii_redact()),
         "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
         "mix_sample": (q_mix_sample, _SQL_MIX_SAMPLE),
+        "bpe_merges": (q_bpe_merges, _sql_bpe_merges()),
         "vocab_topk": (q_vocab_topk, _SQL_VOCAB_TOPK),
         "ivf_topk": (q_ivf_topk, _sql_ivf_topk()),
         "session_rollup": (q_session_rollup, _sql_session_rollup()),

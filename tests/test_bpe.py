@@ -1,0 +1,82 @@
+"""BPE trainer (operators/bpe.py): the classic Sennrich worked example,
+a differential against a pure-Python reference trainer, and per-word
+apply semantics."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from geoio_jl_spark.operators.bpe import (END, apply_bpe, train_bpe,
+                                          word_counts)
+
+
+# ---------------------------------------------------------------------------
+# pure-Python reference trainer (independent implementation)
+
+def _ref_train(word_cnt: dict[str, int], n: int) -> list[tuple[str, int]]:
+    vocab = {tuple(list(w) + [END]): c for w, c in word_cnt.items()}
+    merges = []
+    for _ in range(n):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1],
+                                                       f"{kv[0][0]} {kv[0][1]}"))
+        merges.append((f"{a} {b}", c))
+        new = {}
+        for sym, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + cnt
+        vocab = new
+    return merges
+
+
+def test_sennrich_worked_example(spark):
+    """low×5 lower×2 newest×6 widest×3 → es, est, est</w>, l o, lo w…"""
+    words = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(0, " ".join(words))], ["doc_id", "text"])
+    merges = train_bpe(docs, 5)
+    assert [m[0] for m in merges[:3]] == ["e s", "es t", "est </w>"]
+    assert [m[1] for m in merges[:3]] == [9, 9, 9]
+
+
+def test_differential_vs_reference(spark):
+    rng_words = ["spark", "shuffle", "scan", "sort", "join", "batch",
+                 "stream", "row", "data", "agg"]
+    import random
+    rnd = random.Random(7)
+    docs = spark.createDataFrame(
+        [(i, " ".join(rnd.choices(rng_words, k=30))) for i in range(40)],
+        ["doc_id", "text"])
+    wc = {r["word"]: r["cnt"] for r in word_counts(docs).collect()}
+    expect = _ref_train(wc, 10)
+    got = train_bpe(docs, 10)
+    assert got == expect
+
+
+def test_apply_never_merges_across_words(spark):
+    """A merged symbol ending in </w> must not pair with the next word."""
+    docs = spark.createDataFrame([(0, "ab ab")], ["doc_id", "text"])
+    merges = train_bpe(docs, 3)
+    # learned: (a b), (ab </w>) — then nothing (single symbol per word)
+    assert [m[0] for m in merges] == ["a b", "ab </w>"]
+    out = apply_bpe(docs, merges).collect()[0]["bpe_sym"]
+    assert out == ["ab</w>", "ab</w>"]
+
+
+def test_apply_unseen_word_falls_back_to_chars(spark):
+    train = spark.createDataFrame([(0, "aaaa aaaa")], ["doc_id", "text"])
+    merges = train_bpe(train, 2)
+    other = spark.createDataFrame([(0, "xy")], ["doc_id", "text"])
+    out = apply_bpe(other, merges).collect()[0]["bpe_sym"]
+    assert out == [f"x y {END}"]
