@@ -314,11 +314,15 @@ def phash64(a: np.ndarray) -> int:
 
 def synthetic_cluster_pngs(df: DataFrame, id_col: str = "doc_id",
                            out: str = "image") -> DataFrame:
-    """Deterministic 9×8 grayscale PNG per id — 25 pixel clusters
-    (id % 25) plus a single-pixel +50 perturbation at (id % 9, id % 8)
-    that flips at most 2 dHash bits.  Test/oracle scaffolding: the
-    pixel arithmetic is replayable in pure SQL while the bytes go
-    through the real encode_png → decode_png path."""
+    """Deterministic 9×8 grayscale PNG per id — FIXED-SIZE pixel
+    clusters (id // 8, so near-dup pair volume stays LINEAR in corpus
+    size; the round-5 original used id % 25, which made every pair of
+    the n/25 cluster members a near-dup and grew the output
+    quadratically with scale factor) plus a single-pixel +50
+    perturbation at (id % 9, id % 8) that flips at most 2 dHash bits.
+    Test/oracle scaffolding: the pixel arithmetic is replayable in pure
+    SQL while the bytes go through the real encode_png → decode_png
+    path."""
     ensure_pyfiles(df.sparkSession)
 
     @F.pandas_udf("binary")
@@ -329,7 +333,7 @@ def synthetic_cluster_pngs(df: DataFrame, id_col: str = "doc_id",
         outv = []
         for d in ids:
             d = int(d)
-            c = d % 25
+            c = d // 8
             # quadratic mix → cross-cluster hashes decorrelate (a
             # linear gradient left most comparisons equal everywhere)
             p = ((c * 97 + i + 9 * j + 1)

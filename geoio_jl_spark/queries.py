@@ -1584,7 +1584,8 @@ def _sql_quality_model() -> str:
 # ---------------------------------------------------------------------------
 # Q: image near-dup (round 5) — dHash + Hamming-bucket join over REAL
 # PNG bytes: each doc_id mints a deterministic 9×8 grayscale PNG with
-# the engine's own codec (25 pixel clusters + a 1-pixel per-doc
+# the engine's own codec (fixed-size 8-doc pixel clusters so pair volume
+# scales linearly with the corpus + a 1-pixel per-doc
 # perturbation, ≤2 dHash bits), the operator decodes/hashes/joins, and
 # the DuckDB oracle replays the pixel arithmetic and bit comparisons
 # in pure SQL — so the oracle checks the hash+join math while the
@@ -1602,8 +1603,8 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_IMAGE_NEARDUP = """
 WITH px AS (
   SELECT doc_id, j, i,
-         least(((doc_id % 25) * 97 + i + 9 * j + 1)
-               * ((doc_id % 25) * 89 + i * 7 + j * 3 + 7) % 251
+         least(((doc_id // 8) * 97 + i + 9 * j + 1)
+               * ((doc_id // 8) * 89 + i * 7 + j * 3 + 7) % 251
                + CASE WHEN i = doc_id % 9 AND j = doc_id % 8
                       THEN 50 ELSE 0 END, 255) AS p
   FROM documents,
