@@ -132,3 +132,39 @@ def test_irreversible_wavelet_rejected():
     cs[off] = 0  # claim 9/7
     with pytest.raises(J2KError, match="9/7"):
         decode_j2k(bytes(cs))
+
+
+def test_corrupt_streams_fail_cleanly():
+    """Truncations and byte flips of a valid codestream must raise (any
+    exception type) promptly — never hang or return silently-wrong
+    sizes.  Tier-1 bit corruption inside a codeblock segment can decode
+    to different values (MQ streams carry no checksum, matching other
+    J2K decoders), so only structural damage is asserted here."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (16, 16)).astype(np.int64)
+    cs = encode_j2k_lossless(img, 8, levels=2, cb_exp=4)
+    # truncations in the marker/header region must raise
+    for cut in (1, 3, 10, 40, 60):
+        with pytest.raises(Exception):
+            decode_j2k(cs[:cut])
+    # header byte flips: either a named failure or a (16, 16) result —
+    # never a crash-free wrong-shaped array
+    for pos in range(2, 100, 7):
+        bad = bytearray(cs)
+        bad[pos] ^= 0xFF
+        try:
+            out, info = decode_j2k(bytes(bad))
+        except Exception:
+            continue
+        assert out.shape[0] * out.shape[1] == info["width"] * info["height"]
+
+
+def test_decoder_rejects_unsupported_shapes():
+    img = np.zeros((8, 8), np.int64)
+    cs = bytearray(encode_j2k_lossless(img, 8, levels=1))
+    # flip Csiz (component count) at SIZ offset: SOC(2)+marker(2)+len(2)
+    # + 34 bytes → Csiz at 2+4+34 = 40
+    two = bytearray(cs)
+    two[41] = 2
+    with pytest.raises(J2KError, match="components"):
+        decode_j2k(bytes(two))

@@ -151,3 +151,38 @@ def test_sessionize_sharded_timeout_default_on():
     from geoio_jl_spark.streaming.pipeline import sessionize_sharded
     assert inspect.signature(sessionize_sharded) \
         .parameters["use_timeout"].default is True
+
+
+def test_stream_pii_and_decontaminate_compose(spark, sf_dir, tmp_path):
+    """Round-5 webtext kernels in a streaming query.  PII redaction is
+    stateless (runs directly in append mode); decontamination carries a
+    per-doc aggregation, so it applies per micro-batch through
+    foreachBatch — the repo's established pattern for batch operators
+    with aggregations (each doc's grams live in one row, so per-batch
+    application equals the batch result)."""
+    from geoio_jl_spark.operators.decontaminate import decontaminate
+    from geoio_jl_spark.operators.pii import redact_pii
+
+    docs_path = _as_dir(f"{sf_dir}/documents.parquet", tmp_path, "docs_dir")
+    batch_docs = spark.read.parquet(docs_path)
+    bench = batch_docs.filter(F.col("doc_id") % 7 == 0)
+
+    def compose(df):
+        red = redact_pii(df).select("doc_id", "clean_text", "n_emails")
+        return red.join(decontaminate(df, bench, n=4), "doc_id")
+
+    got_rows = []
+
+    def sink(bdf, _epoch):
+        got_rows.extend(map(tuple, compose(bdf).collect()))
+
+    stream = spark.readStream.schema(batch_docs.schema).parquet(docs_path)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_pd"))
+        .start()
+    )
+    q.awaitTermination(120)
+    want = sorted(map(tuple, compose(batch_docs).collect()))
+    assert sorted(got_rows) == want and len(want) > 0
