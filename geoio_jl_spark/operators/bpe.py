@@ -57,11 +57,19 @@ def _apply_merge(sym, a: str, b: str):
 
 
 def train_bpe(docs: DataFrame, n_merges: int,
-              text_col: str = "text") -> list[tuple[str, int]]:
-    """Learn ``n_merges`` BPE merges → [(pair, summed count), ...]."""
+              text_col: str = "text",
+              checkpoint_every: int = 4) -> list[tuple[str, int]]:
+    """Learn ``n_merges`` BPE merges → [(pair, summed count), ...].
+
+    The vocabulary is materialized with ``localCheckpoint`` every
+    ``checkpoint_every`` rounds rather than every round: between
+    checkpoints a round's aggregation recomputes at most
+    ``checkpoint_every × _REPLACE_PASSES`` literal string replaces over
+    the vocab table — far cheaper than an extra materialization per
+    round — while lineage depth stays bounded."""
     vocab = _initial_symbols(word_counts(docs, text_col)).localCheckpoint()
     merges: list[tuple[str, int]] = []
-    for _ in range(n_merges):
+    for r in range(n_merges):
         parts = F.split("sym", " ")
         # guard: sequence(0, -1) would run DESCENDING for fully-merged
         # single-symbol words
@@ -83,8 +91,9 @@ def train_bpe(docs: DataFrame, n_merges: int,
         merges.append((pair, c))
         a, b = pair.split(" ")
         vocab = vocab.select(
-            _apply_merge(F.col("sym"), a, b).alias("sym"), "cnt"
-        ).localCheckpoint()
+            _apply_merge(F.col("sym"), a, b).alias("sym"), "cnt")
+        if (r + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()
     return merges
 
 

@@ -100,3 +100,12 @@ def test_unlisted_stratum_uses_default(spark):
                                  F.lit("other").alias("source"))
     assert weighted_sample(df, {"a": 0.0}).count() == 100      # default 1.0
     assert weighted_sample(df, {"a": 0.5}, default=0.0).count() == 0
+
+
+def test_mixer_plan_has_no_shuffle(spark):
+    """weighted_sample must stay a pure mapper: no Exchange in the plan."""
+    df = spark.range(100).select(F.col("id").alias("doc_id"),
+                                 F.lit("a").alias("source"))
+    plan = (weighted_sample(df, {"a": 0.5})
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "EvalPython" not in plan

@@ -110,3 +110,20 @@ def test_warc_to_extraction_pipeline(spark, tmp_path):
     deduped = exact_duplicates(
         extracted.withColumnRenamed("target_uri", "doc_id"))
     assert deduped.count() <= 200
+
+
+def test_wet_conversion_records(spark, tmp_path):
+    """WET files are WARC with 'conversion' records (text/plain payload,
+    no HTTP envelope) — the reader handles them as-is."""
+    rows = spark.createDataFrame(
+        [("conversion", "http://example.com/a", "text/plain",
+          bytearray("extracted text of page a".encode()))],
+        "warc_type string, target_uri string, content_type string, "
+        "payload binary")
+    p = str(tmp_path / "x.warc.wet.gz")
+    warc.write(rows, p)
+    got = warc.read(spark, p).collect()
+    assert len(got) == 1
+    assert got[0]["warc_type"] == "conversion"
+    assert got[0]["http_status"] is None
+    assert bytes(got[0]["payload"]) == b"extracted text of page a"
