@@ -139,3 +139,35 @@ def test_grib_simple_packing_unpack(nbits, E, D_, xs):
     got = _unpack_simple(data, pack)
     want = [(3.25 + x * 2.0**E) * 10.0**-D_ for x in xs]
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# JPEG 2000 codec (round 5): hypothesis round-trips with shrinking —
+# the MQ coder and codestream layers have many boundary states (flush
+# bits, stuffing, stripe remainders) that random sweeps under-sample.
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 18), st.integers(0, 1)),
+                min_size=1, max_size=600))
+def test_mq_coder_roundtrip_property(symbols):
+    from tests.j2k_encoder import MQEncoder
+    from geoio_jl_spark.sources.j2k import MQDecoder
+    enc = MQEncoder()
+    for cx, b in symbols:
+        enc.encode(cx, b)
+    dec = MQDecoder(enc.flush())
+    assert [dec.decode(cx) for cx, _ in symbols] == [b for _, b in symbols]
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 33), st.integers(1, 33), st.integers(2, 12),
+       st.integers(0, 3), st.integers(2, 6), st.integers(0, 2**32 - 1))
+def test_j2k_codestream_roundtrip_property(h, w, depth, levels, cb_exp,
+                                           seed):
+    from tests.j2k_encoder import encode_j2k_lossless
+    from geoio_jl_spark.sources.j2k import decode_j2k
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 1 << depth, (h, w)).astype(np.int64)
+    cs = encode_j2k_lossless(img, depth, levels=levels, cb_exp=cb_exp)
+    out, info = decode_j2k(cs)
+    assert np.array_equal(out, img)
