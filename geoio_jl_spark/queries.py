@@ -2058,6 +2058,36 @@ w{r + 1} AS (SELECT trim({expr}) AS sym, cnt FROM w{r}, b{r} b)""")
 
 
 # ---------------------------------------------------------------------------
+# Q: tile-pyramid rollup (operators/pyramid.py) — doc points aggregated
+# into tiles at zooms 6..0 (hierarchical 4:1 rollup after ONE corpus
+# shuffle).  The oracle aggregates the raw points at every zoom
+# directly; floor-composition makes the two forms exactly equal.
+# ---------------------------------------------------------------------------
+
+_PYR_ZMAX, _PYR_BASE = 6, 64
+
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoio_jl_spark.operators.pyramid import tile_pyramid
+    pts = _docs_points(spark, sf_dir)
+    return tile_pyramid(pts, "lon_i", "lat_i", max_zoom=_PYR_ZMAX,
+                        base_tile=_PYR_BASE)
+
+
+def _sql_tile_pyramid() -> str:
+    sels = []
+    for z in range(_PYR_ZMAX, -1, -1):
+        ts = _PYR_BASE * 2 ** (_PYR_ZMAX - z)
+        sels.append(
+            f"SELECT {z} AS zoom, lon_i // {ts} AS tx, lat_i // {ts} AS ty,"
+            f" count(*) AS n FROM pts GROUP BY 2, 3")
+    body = "\nUNION ALL\n".join(sels)
+    return (f"WITH pts AS (SELECT {D.LON_I.format(id='doc_id')} AS lon_i, "
+            f"{D.LAT_I.format(id='doc_id')} AS lat_i FROM documents)\n"
+            + body)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2118,6 +2148,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
         "mix_sample": (q_mix_sample, _SQL_MIX_SAMPLE),
         "bpe_merges": (q_bpe_merges, _sql_bpe_merges()),
+        "tile_pyramid": (q_tile_pyramid, _sql_tile_pyramid()),
         "vocab_topk": (q_vocab_topk, _SQL_VOCAB_TOPK),
         "ivf_topk": (q_ivf_topk, _sql_ivf_topk()),
         "session_rollup": (q_session_rollup, _sql_session_rollup()),
