@@ -264,3 +264,71 @@ def stream_point_in_polygon(stream: DataFrame, polygons: DataFrame,
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer
+
+
+def stream_minhash_dedup(stream: DataFrame, output_path: str,
+                         store_path: str, text_col: str = "text",
+                         id_col: str = "doc_id"):
+    """Incremental NEAR-dup filter for continuous ingest: a persistent
+    LSH signature index grows with the stream, and each micro-batch
+    drops documents whose minhash band bucket was already claimed by an
+    earlier kept document (candidate-level LSH semantics — the
+    aggressive crawl-dedup setting; for verified-similarity dedup run
+    the batch star-edges + components pass over the kept corpus).
+
+    Per micro-batch (foreachBatch — the dedup needs a cross-batch index
+    the built-in state stores can't express):
+      1. banded minhash signatures for the batch (xxhash64 fast path —
+         no oracle replay on the ingest path),
+      2. anti-join against the store → docs new w.r.t. ALL history,
+      3. batch-local dedup: min id per bucket claims it,
+      4. append survivors' buckets to the store, docs to the output.
+
+    The store is a parquet table of (band, sig) — the join shuffles on
+    the bucket key; a production deployment keeps it bucketed/Z-ordered
+    so the per-batch anti-join prunes to matching files.  State grows
+    with the kept corpus by design (it IS the dedup index), unlike the
+    watermark-bounded exact/url variants above.
+
+    Returns the ``DataStreamWriter`` (caller starts it)."""
+    import os
+
+    from geoio_jl_spark.operators.dedup import minhash_signatures
+    from geoio_jl_spark import dialect as D
+
+    nr = len(D.MINHASH_SEEDS) // D.MINHASH_BANDS
+    band_arr = F.array(*[
+        F.concat_ws("_", *[f"mh{b * nr + r}" for r in range(nr)])
+        for b in range(D.MINHASH_BANDS)
+    ])
+
+    def process(batch: DataFrame, _epoch: int) -> None:
+        spark = batch.sparkSession
+        sig = minhash_signatures(batch, text_col, id_col, fast_hash=True)
+        buckets = sig.select(
+            id_col, F.posexplode(band_arr).alias("band", "sig"))
+        if os.path.exists(store_path):
+            store = spark.read.parquet(store_path)
+            dup_ids = (buckets.join(store, ["band", "sig"], "left_semi")
+                       .select(id_col).distinct())
+            fresh = buckets.join(dup_ids, id_col, "left_anti")
+        else:
+            fresh = buckets
+        # batch-local: the minimum id in each bucket claims it
+        winners = (fresh.groupBy("band", "sig")
+                   .agg(F.min(id_col).alias(id_col)))
+        # a doc survives iff it claimed EVERY bucket it would write —
+        # otherwise one of its buckets belongs to a smaller batch peer
+        kept = (fresh.join(winners.withColumn("_win", F.lit(1)),
+                           ["band", "sig", id_col], "left")
+                .groupBy(id_col)
+                .agg(F.count("*").alias("_nb"), F.sum("_win").alias("_nw"))
+                .filter(F.col("_nb") == F.col("_nw"))
+                .select(id_col))
+        out_docs = batch.join(kept, id_col, "left_semi")
+        new_buckets = (fresh.join(kept, id_col, "left_semi")
+                       .select("band", "sig").distinct())
+        new_buckets.write.mode("append").parquet(store_path)
+        out_docs.write.mode("append").parquet(output_path)
+
+    return stream.writeStream.foreachBatch(process)

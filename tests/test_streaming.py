@@ -186,3 +186,53 @@ def test_stream_pii_and_decontaminate_compose(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     want = sorted(map(tuple, compose(batch_docs).collect()))
     assert sorted(got_rows) == want and len(want) > 0
+
+
+def test_stream_minhash_dedup_incremental(spark, tmp_path):
+    """Cross-batch near-dup dedup with a persistent LSH signature store:
+    the first batch claims its buckets; a later batch's near-dup of an
+    already-kept doc is dropped, fresh docs and within-batch first-wins
+    survive."""
+    from geoio_jl_spark.streaming.pipeline import stream_minhash_dedup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "kept")
+    store = str(tmp_path / "sigstore")
+    schema = "doc_id long, text string"
+
+    t1 = "spark shuffle scan sort join batch stream row data agg merge"
+    t2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu"
+    t3 = "one two three four five six seven eight nine ten eleven twelve"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (stream_minhash_dedup(stream, out, store)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / "ckpt_mh"))
+             .start())
+        q.awaitTermination(120)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def add_file(name, rows):
+        pq.write_table(pa.table({"doc_id": pa.array([r[0] for r in rows],
+                                                    pa.int64()),
+                                 "text": [r[1] for r in rows]}),
+                       str(src / name))
+
+    add_file("f1.parquet", [(1, t1), (2, t2)])
+    run_once()
+    kept1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept1 == {1, 2}
+
+    # batch 2: doc 4 duplicates doc 1 (cross-batch), docs 5/6 duplicate
+    # each other (within-batch, min id wins), doc 7 fresh... doc 3 fresh
+    add_file("f2.parquet", [(4, t1), (5, t3), (6, t3)])
+    run_once()
+    kept2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept2 == {1, 2, 5}
+    # the store holds buckets only for kept docs
+    n_store = spark.read.parquet(store).count()
+    assert n_store > 0
