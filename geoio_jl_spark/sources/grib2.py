@@ -65,6 +65,57 @@ def read_raw(path: str) -> list[dict]:
     return out
 
 
+def _earth_ellipsoid(s: bytes):
+    """Section-3 shape-of-earth octets → Ellipsoid (code table 3.2)."""
+    from geoio_jl_spark.functions.crs import Ellipsoid
+    shape = s[14]
+    if shape == 0:
+        return Ellipsoid(6367470.0, 0.0)
+    if shape == 6:
+        return Ellipsoid(6371229.0, 0.0)     # NCEP operational sphere
+    if shape == 1:                            # custom scaled sphere
+        return Ellipsoid(_i(s, 16, 4) / 10.0 ** s[15], 0.0)
+    if shape == 4:
+        return Ellipsoid(6378137.0, 298.257222101)   # GRS80
+    if shape == 5:
+        return Ellipsoid(6378137.0, 298.257223563)   # WGS84
+    raise ValueError(f"earth shape code {shape} unsupported")
+
+
+def _decode_lambert_grid(s: bytes) -> dict:
+    """Grid template 3.30 (Lambert conformal — the NCEP HRRR/NAM/RAP
+    grids): the grid is REGULAR in projection space (x1 + i·Dx), so the
+    axes stay 1-D and per-cell lon/lat come from the engine's own
+    inverse LCC (functions/crs.py, EPSG 9802 closed form; sphere via
+    e = 0).  The reference reaches these grids through eccodes
+    (src/extra/cdm.jl:5)."""
+    from geoio_jl_spark.functions.crs import lcc_projection
+    ell = _earth_ellipsoid(s)
+    ni, nj = _i(s, 30, 4), _i(s, 34, 4)
+    la1 = _sm(_i(s, 38, 4), 32) / 1e6
+    lo1 = _i(s, 42, 4) / 1e6
+    lad = _sm(_i(s, 47, 4), 32) / 1e6
+    lov = _i(s, 51, 4) / 1e6
+    dx = _i(s, 55, 4) / 1e3                  # 10^-3 m → m
+    dy = _i(s, 59, 4) / 1e3
+    scan = s[64]
+    lat1 = _sm(_i(s, 65, 4), 32) / 1e6
+    lat2 = _sm(_i(s, 69, 4), 32) / 1e6
+    fwd, inv = lcc_projection(lat1, lat2, lad, lov, 0.0, 0.0, ell)
+    x1, y1 = (float(v) for v in fwd(lo1, la1))
+    sx = -1.0 if scan & 0x80 else 1.0
+    sy = 1.0 if scan & 0x40 else -1.0
+    xs = x1 + sx * dx * np.arange(ni)
+    ys = y1 + sy * dy * np.arange(nj)
+    gx, gy = np.meshgrid(xs, ys)
+    lon2d, lat2d = inv(gx, gy)
+    lon2d = np.mod(lon2d, 360.0)             # GRIB longitudes 0..360
+    return {"ni": ni, "nj": nj, "scan": scan, "lons": xs, "lats": ys,
+            "proj": {"lon2d": lon2d, "lat2d": lat2d,
+                     "lat1": lat1, "lat2": lat2, "lad": lad, "lov": lov,
+                     "a": ell.a, "invf": (1.0 / ell.f if ell.f else 0.0)}}
+
+
 def _decode_message(msg: bytes, discipline: int) -> dict:
     i = 16
     grid = None
@@ -79,25 +130,28 @@ def _decode_message(msg: bytes, discipline: int) -> dict:
         s = msg[i:i + ln]
         if sec == 3:
             tmpl = _i(s, 12, 2)
-            if tmpl not in (0, 40):
+            if tmpl not in (0, 30, 40):
                 raise ValueError(f"unsupported grid template 3.{tmpl}")
-            ni = _i(s, 30, 4)
-            nj = _i(s, 34, 4)
-            la1 = _sm(_i(s, 46, 4), 32) / 1e6
-            lo1 = _i(s, 50, 4) / 1e6
-            la2 = _sm(_i(s, 55, 4), 32) / 1e6
-            lo2 = _i(s, 59, 4) / 1e6
-            di = _i(s, 63, 4) / 1e6
-            scan = s[71]
-            if tmpl == 40:
-                n_half = _i(s, 67, 4)
-                lats = _gaussian_lats(n_half)
+            if tmpl == 30:
+                grid = _decode_lambert_grid(s)
             else:
-                lats = np.linspace(la1, la2, nj)
-            lons = (lo1 + di * np.arange(ni)) if di and di < 1e3 else \
-                np.linspace(lo1, lo2 if lo2 > lo1 else lo2 + 360.0, ni)
-            grid = {"ni": ni, "nj": nj, "lats": lats, "lons": lons,
-                    "scan": scan}
+                ni = _i(s, 30, 4)
+                nj = _i(s, 34, 4)
+                la1 = _sm(_i(s, 46, 4), 32) / 1e6
+                lo1 = _i(s, 50, 4) / 1e6
+                la2 = _sm(_i(s, 55, 4), 32) / 1e6
+                lo2 = _i(s, 59, 4) / 1e6
+                di = _i(s, 63, 4) / 1e6
+                scan = s[71]
+                if tmpl == 40:
+                    n_half = _i(s, 67, 4)
+                    lats = _gaussian_lats(n_half)
+                else:
+                    lats = np.linspace(la1, la2, nj)
+                lons = (lo1 + di * np.arange(ni)) if di and di < 1e3 else \
+                    np.linspace(lo1, lo2 if lo2 > lo1 else lo2 + 360.0, ni)
+                grid = {"ni": ni, "nj": nj, "lats": lats, "lons": lons,
+                        "scan": scan}
         elif sec == 4:
             cat, num = s[9], s[10]
             lvl_type = s[22]
@@ -165,6 +219,14 @@ def _decode_message(msg: bytes, discipline: int) -> dict:
             name = _PARAM.get((discipline, prod["cat"], prod["num"]),
                               f"var{discipline}_{prod['cat']}_{prod['num']}")
             arr = vals.reshape(grid["nj"], grid["ni"])
+            out = {"values": arr, "name": name,
+                   "level_type": prod["level_type"],
+                   "level": prod["level"]}
+            if "proj" in grid:
+                # projected grid: axes/coords already in scan order
+                out.update({"lons": grid["lons"], "lats": grid["lats"],
+                            "proj": grid["proj"]})
+                return out
             lats = grid["lats"]
             # Flip only when the stored lats run north→south while the
             # scan order runs south→north (+j, 0x40). Template 3.0 lats
@@ -173,10 +235,8 @@ def _decode_message(msg: bytes, discipline: int) -> dict:
             # regardless of scan, so a +j scan needs the flip.
             if (grid["scan"] & 0x40) and len(lats) > 1 and lats[0] > lats[-1]:
                 arr = arr[::-1]
-            return {"lons": grid["lons"], "lats": grid["lats"],
-                    "values": arr, "name": name,
-                    "level_type": prod["level_type"],
-                    "level": prod["level"]}
+            out.update({"lons": grid["lons"], "lats": grid["lats"]})
+            return out
         i += ln
     raise ValueError("GRIB message missing data section")
 
@@ -356,6 +416,10 @@ def read(spark: SparkSession, path: str) -> DataFrame:
     pdf = pd.DataFrame({
         "cell_id": cell, "i": ii, "j": jj,
         "x": lons[ii], "y": lats[jj]})
+    if "proj" in g0:
+        # projected grid: x/y are projection metres; add geographic cols
+        pdf["lon"] = g0["proj"]["lon2d"][jj, ii]
+        pdf["lat"] = g0["proj"]["lat2d"][jj, ii]
     names = [m["name"] for m in msgs]
     for m in msgs:
         col = m["name"]

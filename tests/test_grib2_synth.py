@@ -550,3 +550,116 @@ def test_j2k_count_mismatch_raises(tmp_path):
         f.write(bytes(msg))
     with pytest.raises(ValueError, match="carries 12 values"):
         grib2.read_raw(p)
+
+
+# ---------------------------------------------------------------------------
+# Grid template 3.30 (Lambert conformal — HRRR/NAM/RAP).  Geographic
+# coordinates are cross-checked with an INDEPENDENT spherical LCC
+# (Snyder 15-1..15-5 written directly here), not the engine's
+# ellipsoidal closed form.
+# ---------------------------------------------------------------------------
+
+def make_message_lcc(values_2d, la1, lo1, lad, lov, latin1, latin2,
+                     dx_m, dy_m, scan=0x40, shape=6):
+    nj, ni = values_2d.shape
+    s3 = bytearray(81)
+    struct.pack_into(">I", s3, 0, 81)
+    s3[4] = 3
+    struct.pack_into(">H", s3, 12, 30)         # grid template 3.30
+    s3[14] = shape
+    struct.pack_into(">I", s3, 30, ni)
+    struct.pack_into(">I", s3, 34, nj)
+    struct.pack_into(">I", s3, 38, _sm_enc(int(la1 * 1e6), 32))
+    struct.pack_into(">I", s3, 42, int(lo1 * 1e6))
+    struct.pack_into(">I", s3, 47, _sm_enc(int(lad * 1e6), 32))
+    struct.pack_into(">I", s3, 51, int(lov * 1e6))
+    struct.pack_into(">I", s3, 55, int(dx_m * 1e3))
+    struct.pack_into(">I", s3, 59, int(dy_m * 1e3))
+    s3[64] = scan
+    struct.pack_into(">I", s3, 65, _sm_enc(int(latin1 * 1e6), 32))
+    struct.pack_into(">I", s3, 69, _sm_enc(int(latin2 * 1e6), 32))
+
+    base = make_message(values_2d, 0, 2, 0, 1, scan)
+    # splice the template-30 section 3 in place of the template-0 one
+    body = bytes(s3) + base[16 + 72:-4]
+    total = 16 + len(body) + 4
+    head = bytearray(base[:16])
+    struct.pack_into(">Q", head, 8, total)
+    return bytes(head) + body + b"7777"
+
+
+def _sphere_lcc_fwd(lon, lat, lat1, lat2, lad, lov, R):
+    p1, p2, p0 = np.radians([lat1, lat2, lad])
+    phi, lam = np.radians(lat), np.radians(lon)
+    if abs(lat1 - lat2) < 1e-12:
+        n = np.sin(p1)
+    else:
+        n = (np.log(np.cos(p1) / np.cos(p2))
+             / np.log(np.tan(np.pi / 4 + p2 / 2)
+                      / np.tan(np.pi / 4 + p1 / 2)))
+    Fc = np.cos(p1) * np.tan(np.pi / 4 + p1 / 2) ** n / n
+    rho = R * Fc / np.tan(np.pi / 4 + phi / 2) ** n
+    rho0 = R * Fc / np.tan(np.pi / 4 + p0 / 2) ** n
+    th = n * (lam - np.radians(lov))
+    return rho * np.sin(th), rho0 - rho * np.cos(th)
+
+
+def test_lambert_grid_coordinates(tmp_path):
+    """HRRR-like parameters on a small grid: corner pins to (La1, Lo1);
+    every cell's (lon, lat) forward-projects onto the regular x/y mesh
+    via the independent spherical LCC."""
+    vals = np.arange(30, dtype=float).reshape(5, 6)
+    la1, lo1 = 21.138123, 237.280472          # HRRR corner
+    lad = lov = 38.5
+    latin = 38.5
+    p = str(tmp_path / "lcc.grib2")
+    with open(p, "wb") as f:
+        f.write(make_message_lcc(vals, la1, lo1, lad, lov + 224.0 - 224.0,
+                                 latin, latin, 3000.0, 3000.0))
+    m = grib2.read_raw(p)[0]
+    np.testing.assert_array_equal(m["values"], vals)
+    pr = m["proj"]
+    lon2d, lat2d = pr["lon2d"], pr["lat2d"]
+    # corner == first grid point
+    assert abs(lat2d[0, 0] - la1) < 1e-9
+    assert abs(lon2d[0, 0] - lo1) < 1e-9
+    xs, ys = m["lons"], m["lats"]
+    assert abs(xs[1] - xs[0] - 3000.0) < 1e-6
+    assert abs(ys[1] - ys[0] - 3000.0) < 1e-6
+    R = 6371229.0
+    x1, y1 = _sphere_lcc_fwd(lo1, la1, latin, latin, lad, lov, R)
+    for j in (0, 2, 4):
+        for i in (0, 3, 5):
+            x, y = _sphere_lcc_fwd(lon2d[j, i], lat2d[j, i],
+                                   latin, latin, lad, lov, R)
+            assert abs((x - x1) - i * 3000.0) < 1e-3
+            assert abs((y - y1) - j * 3000.0) < 1e-3
+
+
+def test_lambert_grid_spark_table(spark, tmp_path):
+    """read() emits projection x/y plus per-cell lon/lat columns."""
+    vals = np.arange(12, dtype=float).reshape(3, 4)
+    p = str(tmp_path / "lcc2.grib2")
+    with open(p, "wb") as f:
+        f.write(make_message_lcc(vals, 40.0, 250.0, 45.0, 255.0,
+                                 44.0, 46.0, 5000.0, 5000.0))
+    df = grib2.read(spark, p)
+    assert {"x", "y", "lon", "lat"} <= set(df.columns)
+    rows = {(r["i"], r["j"]): r for r in df.collect()}
+    assert len(rows) == 12
+    assert abs(rows[(0, 0)]["lat"] - 40.0) < 1e-9
+    assert abs(rows[(0, 0)]["lon"] - 250.0) < 1e-9
+    # x axis regular in projection space
+    assert abs((rows[(1, 0)]["x"] - rows[(0, 0)]["x"]) - 5000.0) < 1e-6
+
+
+def test_unsupported_earth_shape_raises(tmp_path):
+    vals = np.zeros((2, 2))
+    msg = bytearray(make_message_lcc(vals, 40.0, 250.0, 45.0, 255.0,
+                                     44.0, 46.0, 5000.0, 5000.0))
+    msg[16 + 14] = 7                           # shape code 7: unsupported
+    p = str(tmp_path / "bad_shape.grib2")
+    with open(p, "wb") as f:
+        f.write(bytes(msg))
+    with pytest.raises(ValueError, match="earth shape"):
+        grib2.read_raw(p)
