@@ -102,6 +102,38 @@ def _decode_lambert_grid(s: bytes) -> dict:
     lat1 = _sm(_i(s, 65, 4), 32) / 1e6
     lat2 = _sm(_i(s, 69, 4), 32) / 1e6
     fwd, inv = lcc_projection(lat1, lat2, lad, lov, 0.0, 0.0, ell)
+    meta = {"method": "lambert_conformal_conic",
+            "lat1": lat1, "lat2": lat2, "lad": lad, "lov": lov,
+            "a": ell.a, "invf": (1.0 / ell.f if ell.f else 0.0)}
+    return _proj_mesh(ni, nj, la1, lo1, dx, dy, scan, fwd, inv, meta)
+
+
+def _decode_polar_grid(s: bytes) -> dict:
+    """Grid template 3.20 (polar stereographic — NCEP Alaska / polar
+    grids): regular in projection space like 3.30; per-cell lon/lat via
+    the engine's Polar Stereographic variant B (EPSG 9829; LaD is the
+    standard parallel, the projection-centre flag picks the aspect)."""
+    from geoio_jl_spark.functions.crs import polar_stereographic
+    ell = _earth_ellipsoid(s)
+    ni, nj = _i(s, 30, 4), _i(s, 34, 4)
+    la1 = _sm(_i(s, 38, 4), 32) / 1e6
+    lo1 = _i(s, 42, 4) / 1e6
+    lad = _sm(_i(s, 47, 4), 32) / 1e6
+    lov = _i(s, 51, 4) / 1e6
+    dx = _i(s, 55, 4) / 1e3
+    dy = _i(s, 59, 4) / 1e3
+    south = bool(s[63] & 0x80)
+    scan = s[64]
+    ts = -abs(lad) if south else abs(lad)
+    fwd, inv = polar_stereographic("B", ts, lov, 1.0, 0.0, 0.0, ell)
+    meta = {"method": "polar_stereographic", "lad": ts, "lov": lov,
+            "a": ell.a, "invf": (1.0 / ell.f if ell.f else 0.0)}
+    return _proj_mesh(ni, nj, la1, lo1, dx, dy, scan, fwd, inv, meta)
+
+
+def _proj_mesh(ni, nj, la1, lo1, dx, dy, scan, fwd, inv, meta) -> dict:
+    """Shared projected-grid mesh: anchor the regular x/y axes at the
+    first grid point, inverse-project the mesh to per-cell lon/lat."""
     x1, y1 = (float(v) for v in fwd(lo1, la1))
     sx = -1.0 if scan & 0x80 else 1.0
     sy = 1.0 if scan & 0x40 else -1.0
@@ -111,9 +143,7 @@ def _decode_lambert_grid(s: bytes) -> dict:
     lon2d, lat2d = inv(gx, gy)
     lon2d = np.mod(lon2d, 360.0)             # GRIB longitudes 0..360
     return {"ni": ni, "nj": nj, "scan": scan, "lons": xs, "lats": ys,
-            "proj": {"lon2d": lon2d, "lat2d": lat2d,
-                     "lat1": lat1, "lat2": lat2, "lad": lad, "lov": lov,
-                     "a": ell.a, "invf": (1.0 / ell.f if ell.f else 0.0)}}
+            "proj": {"lon2d": lon2d, "lat2d": lat2d, **meta}}
 
 
 def _decode_message(msg: bytes, discipline: int) -> dict:
@@ -130,10 +160,12 @@ def _decode_message(msg: bytes, discipline: int) -> dict:
         s = msg[i:i + ln]
         if sec == 3:
             tmpl = _i(s, 12, 2)
-            if tmpl not in (0, 30, 40):
+            if tmpl not in (0, 20, 30, 40):
                 raise ValueError(f"unsupported grid template 3.{tmpl}")
             if tmpl == 30:
                 grid = _decode_lambert_grid(s)
+            elif tmpl == 20:
+                grid = _decode_polar_grid(s)
             else:
                 ni = _i(s, 30, 4)
                 nj = _i(s, 34, 4)

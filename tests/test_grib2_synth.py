@@ -663,3 +663,81 @@ def test_unsupported_earth_shape_raises(tmp_path):
         f.write(bytes(msg))
     with pytest.raises(ValueError, match="earth shape"):
         grib2.read_raw(p)
+
+
+# ---------------------------------------------------------------------------
+# Grid template 3.20 (polar stereographic — NCEP Alaska / polar grids),
+# cross-checked with an independent spherical formula (Snyder 21-1..21-4
+# with k0 from the standard parallel).
+# ---------------------------------------------------------------------------
+
+def make_message_ps(values_2d, la1, lo1, lad, lov, dx_m, dy_m,
+                    scan=0x40, shape=6, south=False):
+    nj, ni = values_2d.shape
+    s3 = bytearray(65)
+    struct.pack_into(">I", s3, 0, 65)
+    s3[4] = 3
+    struct.pack_into(">H", s3, 12, 20)         # grid template 3.20
+    s3[14] = shape
+    struct.pack_into(">I", s3, 30, ni)
+    struct.pack_into(">I", s3, 34, nj)
+    struct.pack_into(">I", s3, 38, _sm_enc(int(la1 * 1e6), 32))
+    struct.pack_into(">I", s3, 42, int(lo1 * 1e6))
+    struct.pack_into(">I", s3, 47, _sm_enc(int(lad * 1e6), 32))
+    struct.pack_into(">I", s3, 51, int(lov * 1e6))
+    struct.pack_into(">I", s3, 55, int(dx_m * 1e3))
+    struct.pack_into(">I", s3, 59, int(dy_m * 1e3))
+    s3[63] = 0x80 if south else 0
+    s3[64] = scan
+    base = make_message(values_2d, 0, 2, 0, 1, scan)
+    body = bytes(s3) + base[16 + 72:-4]
+    total = 16 + len(body) + 4
+    head = bytearray(base[:16])
+    struct.pack_into(">Q", head, 8, total)
+    return bytes(head) + body + b"7777"
+
+
+def _sphere_ps_fwd(lon, lat, lad, lov, R, south=False):
+    sgn = -1.0 if south else 1.0
+    phi = sgn * np.radians(lat)
+    phic = np.radians(abs(lad))
+    k = (1 + np.sin(phic)) / 2  # k0·2 with k0 from std parallel
+    rho = 2 * R * k * np.tan(np.pi / 4 - phi / 2)
+    th = sgn * (np.radians(lon) - np.radians(lov))
+    return sgn * rho * np.sin(th), -rho * np.cos(th) * 1.0
+
+
+def test_polar_grid_coordinates(tmp_path):
+    """NCEP Alaska-like polar grid: corner pins to (La1, Lo1); cell
+    spacing is exactly Dx/Dy in projection metres via the independent
+    spherical forward."""
+    vals = np.arange(20, dtype=float).reshape(4, 5)
+    la1, lo1, lad, lov = 30.0, 187.0, 60.0, 210.0
+    p = str(tmp_path / "ps.grib2")
+    with open(p, "wb") as f:
+        f.write(make_message_ps(vals, la1, lo1, lad, lov, 10000.0, 10000.0))
+    m = grib2.read_raw(p)[0]
+    pr = m["proj"]
+    assert pr["method"] == "polar_stereographic"
+    assert abs(pr["lat2d"][0, 0] - la1) < 1e-9
+    assert abs(pr["lon2d"][0, 0] - lo1) < 1e-9
+    R = 6371229.0
+    xr, yr = _sphere_ps_fwd(pr["lon2d"], pr["lat2d"], lad, lov, R)
+    # independent forward reproduces the regular projection mesh
+    for j in (0, 3):
+        for i in (0, 4):
+            assert abs((xr[j, i] - xr[0, 0]) - i * 10000.0) < 1e-3
+            assert abs((yr[j, i] - yr[0, 0]) - j * 10000.0) < 1e-3
+
+
+def test_polar_grid_south_aspect(tmp_path):
+    vals = np.zeros((2, 2))
+    p = str(tmp_path / "pss.grib2")
+    with open(p, "wb") as f:
+        f.write(make_message_ps(vals, -30.0, 10.0, -60.0, 0.0,
+                                20000.0, 20000.0, south=True))
+    m = grib2.read_raw(p)[0]
+    pr = m["proj"]
+    assert abs(pr["lat2d"][0, 0] - (-30.0)) < 1e-9
+    assert abs(pr["lon2d"][0, 0] - 10.0) < 1e-9
+    assert (pr["lat2d"] < 0).all()
