@@ -131,6 +131,26 @@ def _decode_polar_grid(s: bytes) -> dict:
     return _proj_mesh(ni, nj, la1, lo1, dx, dy, scan, fwd, inv, meta)
 
 
+def _decode_mercator_grid(s: bytes) -> dict:
+    """Grid template 3.10 (Mercator — NCEP marine/wave grids): regular
+    in projection space; lon/lat via the engine's ellipsoidal Mercator
+    with variant-B scale from LaD (k0 = m(lat_ts), EPSG 9805)."""
+    from geoio_jl_spark.functions.crs import _m_fn, mercator_projection
+    ell = _earth_ellipsoid(s)
+    ni, nj = _i(s, 30, 4), _i(s, 34, 4)
+    la1 = _sm(_i(s, 38, 4), 32) / 1e6
+    lo1 = _i(s, 42, 4) / 1e6
+    lad = _sm(_i(s, 47, 4), 32) / 1e6
+    scan = s[59]
+    dx = _i(s, 64, 4) / 1e3
+    dy = _i(s, 68, 4) / 1e3
+    k0 = float(_m_fn(np.radians(lad), ell))
+    fwd, inv = mercator_projection(0.0, k0, 0.0, 0.0, ell)
+    meta = {"method": "mercator", "lad": lad,
+            "a": ell.a, "invf": (1.0 / ell.f if ell.f else 0.0)}
+    return _proj_mesh(ni, nj, la1, lo1, dx, dy, scan, fwd, inv, meta)
+
+
 def _proj_mesh(ni, nj, la1, lo1, dx, dy, scan, fwd, inv, meta) -> dict:
     """Shared projected-grid mesh: anchor the regular x/y axes at the
     first grid point, inverse-project the mesh to per-cell lon/lat."""
@@ -160,12 +180,14 @@ def _decode_message(msg: bytes, discipline: int) -> dict:
         s = msg[i:i + ln]
         if sec == 3:
             tmpl = _i(s, 12, 2)
-            if tmpl not in (0, 20, 30, 40):
+            if tmpl not in (0, 10, 20, 30, 40):
                 raise ValueError(f"unsupported grid template 3.{tmpl}")
             if tmpl == 30:
                 grid = _decode_lambert_grid(s)
             elif tmpl == 20:
                 grid = _decode_polar_grid(s)
+            elif tmpl == 10:
+                grid = _decode_mercator_grid(s)
             else:
                 ni = _i(s, 30, 4)
                 nj = _i(s, 34, 4)

@@ -741,3 +741,55 @@ def test_polar_grid_south_aspect(tmp_path):
     assert abs(pr["lat2d"][0, 0] - (-30.0)) < 1e-9
     assert abs(pr["lon2d"][0, 0] - 10.0) < 1e-9
     assert (pr["lat2d"] < 0).all()
+
+
+def make_message_mercator(values_2d, la1, lo1, lad, dx_m, dy_m,
+                          scan=0x40, shape=6):
+    """Grid template 3.10 (Mercator)."""
+    nj, ni = values_2d.shape
+    s3 = bytearray(72)
+    struct.pack_into(">I", s3, 0, 72)
+    s3[4] = 3
+    struct.pack_into(">H", s3, 12, 10)
+    s3[14] = shape
+    struct.pack_into(">I", s3, 30, ni)
+    struct.pack_into(">I", s3, 34, nj)
+    struct.pack_into(">I", s3, 38, _sm_enc(int(la1 * 1e6), 32))
+    struct.pack_into(">I", s3, 42, int(lo1 * 1e6))
+    struct.pack_into(">I", s3, 47, _sm_enc(int(lad * 1e6), 32))
+    s3[59] = scan
+    struct.pack_into(">I", s3, 64, int(dx_m * 1e3))
+    struct.pack_into(">I", s3, 68, int(dy_m * 1e3))
+    base = make_message(values_2d, 0, 2, 0, 1, scan)
+    body = bytes(s3) + base[16 + 72:-4]
+    total = 16 + len(body) + 4
+    head = bytearray(base[:16])
+    struct.pack_into(">Q", head, 8, total)
+    return bytes(head) + body + b"7777"
+
+
+def test_mercator_grid_coordinates(tmp_path):
+    """Wave-model-like Mercator grid on the NCEP sphere: corner pins to
+    (La1, Lo1); independent spherical Mercator (x = R·cosφ1·Δλ,
+    y = R·cosφ1·ln tan(π/4+φ/2)) reproduces the Dx/Dy mesh."""
+    vals = np.arange(24, dtype=float).reshape(4, 6)
+    la1, lo1, lad = -20.0, 120.0, 20.0
+    p = str(tmp_path / "merc.grib2")
+    with open(p, "wb") as f:
+        f.write(make_message_mercator(vals, la1, lo1, lad,
+                                      25000.0, 25000.0))
+    m = grib2.read_raw(p)[0]
+    pr = m["proj"]
+    assert pr["method"] == "mercator"
+    assert abs(pr["lat2d"][0, 0] - la1) < 1e-9
+    assert abs(pr["lon2d"][0, 0] - lo1) < 1e-9
+    R = 6371229.0
+    c = R * np.cos(np.radians(lad))
+    lam = np.radians(pr["lon2d"])
+    phi = np.radians(pr["lat2d"])
+    xr = c * lam
+    yr = c * np.log(np.tan(np.pi / 4 + phi / 2))
+    for j in (0, 3):
+        for i in (0, 5):
+            assert abs((xr[j, i] - xr[0, 0]) - i * 25000.0) < 1e-3
+            assert abs((yr[j, i] - yr[0, 0]) - j * 25000.0) < 1e-3
