@@ -25,8 +25,65 @@ from pyspark.sql import functions as F
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+\d{1,2} \d{3} \d{3} \d{4}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+CARD_RE = r"\b\d{13,19}\b"
 
 EMAIL_TOKEN, PHONE_TOKEN, IP_TOKEN = "<EMAIL>", "<PHONE>", "<IP>"
+CARD_TOKEN = "<CARD>"
+
+
+def _luhn_valid_sql(cand: str, dialect: str) -> str:
+    """Luhn checksum over a digit string — the same pure-SQL aggregate
+    in both dialects (reversed digits; every second one doubled with
+    digit-sum), so card VALIDATION, not just the regex shape, runs
+    engine-side.  ``cand`` is an expression naming one candidate."""
+    if dialect == "spark":
+        return (
+            f"aggregate(transform(sequence(0, length({cand}) - 1), i -> "
+            f"  CASE WHEN i % 2 = 0 "
+            f"  THEN ascii(substring(reverse({cand}), i + 1, 1)) - 48 "
+            f"  ELSE IF((ascii(substring(reverse({cand}), i + 1, 1)) - 48) * 2 > 9, "
+            f"          (ascii(substring(reverse({cand}), i + 1, 1)) - 48) * 2 - 9, "
+            f"          (ascii(substring(reverse({cand}), i + 1, 1)) - 48) * 2) END), "
+            f"0, (acc, x) -> acc + x) % 10 = 0"
+        )
+    return (
+        f"list_sum([CASE WHEN i % 2 = 0 "
+        f"  THEN ascii(substring(reverse({cand}), i + 1, 1)) - 48 "
+        f"  ELSE CASE WHEN (ascii(substring(reverse({cand}), i + 1, 1)) - 48) * 2 > 9 "
+        f"       THEN (ascii(substring(reverse({cand}), i + 1, 1)) - 48) * 2 - 9 "
+        f"       ELSE (ascii(substring(reverse({cand}), i + 1, 1)) - 48) * 2 END END "
+        f"  for i in generate_series(0, length({cand}) - 1)]) % 10 = 0"
+    )
+
+
+def card_redact_sql(text_expr: str, dialect: str) -> str:
+    """Replace every Luhn-VALID 13-19 digit run with ``<CARD>`` —
+    candidates from the regex, validation by checksum, replacement by a
+    left fold over the valid candidates.  Same composition in both
+    dialects (Spark ``aggregate`` / DuckDB ``list_reduce`` with the
+    text prepended as the fold seed)."""
+    if dialect == "spark":
+        # Spark SQL string literals process backslash escapes; DuckDB's
+        # don't — double them on the Spark side only (urls.py's _pat
+        # convention)
+        pat = CARD_RE.replace("\\", "\\\\")
+        cands = (f"filter(regexp_extract_all({text_expr}, "
+                 f"'{pat}', 0), c -> {_luhn_valid_sql('c', 'spark')})")
+        return (f"aggregate({cands}, {text_expr}, "
+                f"(acc, c) -> replace(acc, c, '{CARD_TOKEN}'))")
+    cands = (f"list_filter(regexp_extract_all({text_expr}, '{CARD_RE}'), "
+             f"c -> {_luhn_valid_sql('c', 'duckdb')})")
+    return (f"list_reduce(list_prepend({text_expr}, {cands}), "
+            f"(acc, c) -> replace(acc, c, '{CARD_TOKEN}'))")
+
+
+def card_count_sql(text_expr: str, dialect: str) -> str:
+    if dialect == "spark":
+        pat = CARD_RE.replace("\\", "\\\\")
+        return (f"size(filter(regexp_extract_all({text_expr}, "
+                f"'{pat}', 0), c -> {_luhn_valid_sql('c', 'spark')}))")
+    return (f"CAST(len(list_filter(regexp_extract_all({text_expr}, "
+            f"'{CARD_RE}'), c -> {_luhn_valid_sql('c', 'duckdb')})) AS INT)")
 
 
 def redact_pii(df: DataFrame, text_col: str = "text",
@@ -40,13 +97,17 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     red = F.regexp_replace(raw, EMAIL_RE, EMAIL_TOKEN)
     red = F.regexp_replace(red, PHONE_RE, PHONE_TOKEN)
     red = F.regexp_replace(red, IPV4_RE, IP_TOKEN)
-    return df.select(
+    tmp = "__pii_tmp"
+    out = df.select(
         "*",
-        red.alias(out_col),
+        red.alias(tmp),
         F.size(F.regexp_extract_all(raw, F.lit(EMAIL_RE), F.lit(0)))
          .alias("n_emails"),
         F.size(F.regexp_extract_all(raw, F.lit(PHONE_RE), F.lit(0)))
          .alias("n_phones"),
         F.size(F.regexp_extract_all(raw, F.lit(IPV4_RE), F.lit(0)))
          .alias("n_ips"),
+        F.expr(card_count_sql(text_col, "spark")).alias("n_cards"),
     )
+    return (out.withColumn(out_col, F.expr(card_redact_sql(tmp, "spark")))
+            .drop(tmp))

@@ -1893,6 +1893,10 @@ def _planted_pii(docs: DataFrame) -> DataFrame:
         F.when(did % 7 == 0, F.concat(
             F.lit("10."), (did % 200).cast("string"), F.lit(".0."),
             (did % 250 + 1).cast("string"))),
+        # Luhn-VALID card (redacted) and Luhn-INVALID digit run (kept):
+        # the oracle replays the checksum, not just the regex shape
+        F.when(did % 11 == 0, F.lit("card 4532015112830366 ok")),
+        F.when(did % 13 == 0, F.lit("num 1234567890123456 junk")),
     )
     return docs.select(
         "doc_id", F.concat("text", F.lit(" "), extra).alias("text"))
@@ -1902,11 +1906,17 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geoio_jl_spark.operators.pii import redact_pii
     docs = _planted_pii(_read(spark, sf_dir, "documents"))
     return redact_pii(docs).select(
-        "doc_id", "clean_text", "n_emails", "n_phones", "n_ips")
+        "doc_id", "clean_text", "n_emails", "n_phones", "n_ips", "n_cards")
 
 
 def _sql_pii_redact() -> str:
-    from geoio_jl_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+    from geoio_jl_spark.operators.pii import (EMAIL_RE, IPV4_RE, PHONE_RE,
+                                              card_count_sql,
+                                              card_redact_sql)
+    regex_red = (f"regexp_replace(regexp_replace(regexp_replace(t, "
+                 f"'{EMAIL_RE}', '<EMAIL>', 'g'), "
+                 f"'{PHONE_RE}', '<PHONE>', 'g'), "
+                 f"'{IPV4_RE}', '<IP>', 'g')")
     return f"""
 WITH planted AS (
   SELECT doc_id,
@@ -1921,16 +1931,17 @@ WITH planted AS (
            CASE WHEN doc_id % 7 = 0 THEN
              concat('10.', CAST(doc_id % 200 AS VARCHAR), '.0.',
                     CAST(doc_id % 250 + 1 AS VARCHAR))
-           END)) AS t
+           END,
+           CASE WHEN doc_id % 11 = 0 THEN 'card 4532015112830366 ok' END,
+           CASE WHEN doc_id % 13 = 0 THEN 'num 1234567890123456 junk' END
+           )) AS t
   FROM documents)
 SELECT doc_id,
-       regexp_replace(regexp_replace(regexp_replace(t,
-         '{EMAIL_RE}', '<EMAIL>', 'g'),
-         '{PHONE_RE}', '<PHONE>', 'g'),
-         '{IPV4_RE}', '<IP>', 'g') AS clean_text,
+       {card_redact_sql(regex_red, 'duckdb')} AS clean_text,
        CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS INT) AS n_emails,
        CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS INT) AS n_phones,
-       CAST(len(regexp_extract_all(t, '{IPV4_RE}')) AS INT) AS n_ips
+       CAST(len(regexp_extract_all(t, '{IPV4_RE}')) AS INT) AS n_ips,
+       {card_count_sql('t', 'duckdb')} AS n_cards
 FROM planted
 """
 

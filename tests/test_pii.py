@@ -68,3 +68,25 @@ def test_plan_stays_codegen(spark):
     df = spark.createDataFrame([(1, "a@b.co")], ["doc_id", "text"])
     plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_card_luhn_validation(spark):
+    """Only Luhn-valid digit runs are redacted: the checksum runs in
+    pure SQL, not just the regex shape."""
+    rows = [
+        (0, "pay 4532015112830366 now"),           # valid 16-digit
+        (1, "ref 1234567890123456 code"),          # invalid checksum
+        (2, "amex 379354508162306 works"),         # valid 15-digit
+        (3, "visa 4111111111111111 and bad 4111111111111112"),
+        (4, "short 123456789012 stays"),           # < 13 digits
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[0]["clean_text"] == "pay <CARD> now"
+    assert out[0]["n_cards"] == 1
+    assert out[1]["clean_text"] == "ref 1234567890123456 code"
+    assert out[1]["n_cards"] == 0
+    assert out[2]["clean_text"] == "amex <CARD> works"
+    assert out[3]["clean_text"] == "visa <CARD> and bad 4111111111111112"
+    assert out[3]["n_cards"] == 1
+    assert out[4]["clean_text"] == "short 123456789012 stays"
