@@ -451,6 +451,55 @@ def _unpack_simple(data: bytes, pack: dict) -> np.ndarray:
     return (pack["R"] + x * (2.0 ** pack["E"])) * (10.0 ** -pack["D"])
 
 
+def proj_projjson(msg: dict) -> dict:
+    """ProjectedCRS PROJJSON document for a projected-grid message, so
+    the grid's CRS flows into the engine's CRS stack (crs_input
+    dispatch → the same closed forms that built the grid, GeoParquet
+    spec footers, warps)."""
+    pr = msg.get("proj")
+    if pr is None:
+        raise ValueError("message is not on a projected grid")
+    if pr["invf"]:
+        ellipsoid = {"name": "GRIB ellipsoid",
+                     "semi_major_axis": pr["a"],
+                     "inverse_flattening": pr["invf"]}
+    else:
+        ellipsoid = {"name": "GRIB sphere", "radius": pr["a"]}
+    if pr["method"] == "lambert_conformal_conic":
+        method = "Lambert Conic Conformal (2SP)"
+        params = [("Latitude of false origin", pr["lad"]),
+                  ("Longitude of false origin", pr["lov"]),
+                  ("Latitude of 1st standard parallel", pr["lat1"]),
+                  ("Latitude of 2nd standard parallel", pr["lat2"])]
+    elif pr["method"] == "polar_stereographic":
+        method = "Polar Stereographic (variant B)"
+        params = [("Latitude of standard parallel", pr["lad"]),
+                  ("Longitude of origin", pr["lov"])]
+    else:
+        method = "Mercator (variant B)"
+        params = [("Latitude of 1st standard parallel", pr["lad"]),
+                  ("Longitude of natural origin", 0.0)]
+    return {
+        "type": "ProjectedCRS",
+        "name": f"GRIB {pr['method']}",
+        "base_crs": {
+            "name": "GRIB geographic",
+            "datum": {"type": "GeodeticReferenceFrame",
+                      "name": "GRIB earth", "ellipsoid": ellipsoid},
+        },
+        "conversion": {
+            "name": pr["method"],
+            "method": {"name": method},
+            "parameters": [
+                {"name": n, "value": v, "unit": "degree"}
+                for n, v in params
+            ] + [{"name": "False easting", "value": 0.0, "unit": "metre"},
+                 {"name": "False northing", "value": 0.0,
+                  "unit": "metre"}],
+        },
+    }
+
+
 def read(spark: SparkSession, path: str) -> DataFrame:
     """→ long-form cell table; one column per message, suffixed with the
     level when a (name, level_type) repeats across messages."""

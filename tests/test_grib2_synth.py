@@ -793,3 +793,36 @@ def test_mercator_grid_coordinates(tmp_path):
         for i in (0, 5):
             assert abs((xr[j, i] - xr[0, 0]) - i * 25000.0) < 1e-3
             assert abs((yr[j, i] - yr[0, 0]) - j * 25000.0) < 1e-3
+
+
+@pytest.mark.parametrize("maker,kwargs", [
+    ("lcc", {}), ("ps", {}), ("merc", {}),
+])
+def test_proj_projjson_roundtrip(tmp_path, maker, kwargs):
+    """The grid's PROJJSON dispatches through crs_input onto the same
+    closed forms that built the grid: fwd(lon2d, lat2d) reproduces the
+    regular projection mesh to sub-mm."""
+    from geoio_jl_spark.functions.crs_input import transform_from_projjson
+
+    vals = np.arange(12, dtype=float).reshape(3, 4)
+    if maker == "lcc":
+        msg = make_message_lcc(vals, 35.0, 255.0, 38.5, 262.5,
+                               38.5, 38.5, 3000.0, 3000.0)
+    elif maker == "ps":
+        msg = make_message_ps(vals, 30.0, 187.0, 60.0, 210.0,
+                              10000.0, 10000.0)
+    else:
+        msg = make_message_mercator(vals, -20.0, 120.0, 20.0,
+                                    25000.0, 25000.0)
+    p = str(tmp_path / f"{maker}.grib2")
+    with open(p, "wb") as f:
+        f.write(msg)
+    m = grib2.read_raw(p)[0]
+    fwd, inv = transform_from_projjson(grib2.proj_projjson(m))
+    pr = m["proj"]
+    gx, gy = np.meshgrid(m["lons"], m["lats"])
+    # keep the GRIB 0..360 longitude convention (same as LoV): the LCC
+    # cone angle θ = n·Δλ is not mod-360 invariant
+    x, y = fwd(pr["lon2d"], pr["lat2d"])
+    np.testing.assert_allclose(x, gx, atol=1e-4)
+    np.testing.assert_allclose(y, gy, atol=1e-4)
