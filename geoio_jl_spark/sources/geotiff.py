@@ -27,6 +27,7 @@ T_WIDTH, T_HEIGHT, T_BITS, T_COMPRESSION, T_PHOTO = 256, 257, 258, 259, 262
 T_STRIP_OFFSETS, T_SPP, T_ROWS_PER_STRIP, T_STRIP_COUNTS = 273, 277, 278, 279
 T_PLANAR, T_PREDICTOR, T_SAMPLE_FORMAT = 284, 317, 339
 T_TILE_WIDTH, T_TILE_LENGTH, T_TILE_OFFSETS, T_TILE_COUNTS = 322, 323, 324, 325
+T_JPEGTABLES = 347
 T_MODEL_PIXEL_SCALE, T_MODEL_TIEPOINT, T_MODEL_TRANSFORM = 33550, 33922, 34264
 T_GEO_KEYS = 34735
 
@@ -146,16 +147,39 @@ def _unlzw(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _decompress_strip(raw: bytes, comp: int) -> bytes:
+def _decompress_strip(raw: bytes, comp: int,
+                      jpegtables: bytes | None = None) -> bytes:
     if comp == 1:
         return raw
     if comp == 5:
         return _unlzw(raw)
+    if comp == 7:
+        return _unjpeg(raw, jpegtables)
     if comp in (8, 32946):  # Deflate / legacy Deflate
         return zlib.decompress(raw)
     if comp == 32773:
         return _unpackbits(raw)
     raise ValueError(f"unsupported TIFF compression {comp}")
+
+
+def _unjpeg(raw: bytes, jpegtables: bytes | None) -> bytes:
+    """New-style JPEG (compression 7, aerial-imagery COGs): each
+    tile/strip is a JPEG stream, optionally relying on the shared
+    JPEGTables tag (an abbreviated SOI+DQT/DHT+EOI table stream).  The
+    tables prefix (EOI stripped) is spliced ahead of the tile stream
+    (SOI stripped) to form one standard stream for the engine's own
+    baseline decoder (sources/jpeg.py); decoded samples return
+    row-major, so the predictor path sees ordinary bytes."""
+    from geoio_jl_spark.sources.jpeg import decode as decode_jpeg
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("JPEG tile does not start with SOI")
+    if jpegtables and len(jpegtables) > 4:
+        tbl = jpegtables
+        if tbl[-2:] == b"\xff\xd9":
+            tbl = tbl[:-2]
+        raw = tbl + raw[2:]
+    arr = decode_jpeg(raw)
+    return arr.tobytes()
 
 
 def _unpredict(strip: bytes, pred: int, w: int, s: int, bs: int,
@@ -190,6 +214,7 @@ def read_raw(path: str):
     bits = tags.get(T_BITS, (8,) * spp)
     fmt = tags.get(T_SAMPLE_FORMAT, (1,) * spp)
     comp = tags.get(T_COMPRESSION, (1,))[0]
+    jtab = tags.get(T_JPEGTABLES, (None,))[0]
     pred = tags.get(T_PREDICTOR, (1,))[0]
     planar = tags.get(T_PLANAR, (1,))[0]
     dt_map = {(1, 8): "u1", (1, 16): "u2", (1, 32): "u4",
@@ -206,7 +231,7 @@ def read_raw(path: str):
         arr = np.zeros((h, w, spp), dt.newbyteorder("="))
         for k, (o, c) in enumerate(zip(tags[T_TILE_OFFSETS],
                                        tags[T_TILE_COUNTS])):
-            tile = _decompress_strip(buf[o:o + c], comp)
+            tile = _decompress_strip(buf[o:o + c], comp, jtab)
             vals = _unpredict(tile, pred, tw, s, dt.itemsize, dt)
             t = vals[:tw * th * s].reshape(th, tw, s)
             plane = k // per_plane
@@ -225,7 +250,7 @@ def read_raw(path: str):
     counts = tags[T_STRIP_COUNTS]
     strips = []
     for o, c in zip(offsets, counts):
-        strip = _decompress_strip(buf[o:o + c], comp)
+        strip = _decompress_strip(buf[o:o + c], comp, jtab)
         strips.append(_unpredict(strip, pred, w, s, dt.itemsize, dt))
     if planar == 2:
         # strips grouped per plane: plane p occupies strips [p*k, (p+1)*k)

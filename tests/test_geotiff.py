@@ -146,3 +146,130 @@ def test_tiled_cog_roundtrip(spark, tmp_path):
     geotiff.write(df, path2)
     arr2, _, _, _ = geotiff.read_raw(path2)
     np.testing.assert_allclose(arr2[:, :, 0], vals, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Compression 7 (new-style JPEG, aerial-imagery COGs) — tiles encoded
+# with the engine's own baseline encoder; placement is exact, values
+# within JPEG quantization tolerance (constant tiles).
+
+
+def _strip_tables(stream: bytes):
+    """Split a full JPEG stream into (tables, abbreviated stream):
+    DQT/DHT segments move to an SOI+tables+EOI stream (the JPEGTables
+    tag form), the rest keeps frame+scan."""
+    import struct as _s
+    i = 2
+    tables = bytearray(b"\xff\xd8")
+    rest = bytearray(b"\xff\xd8")
+    while i < len(stream):
+        assert stream[i] == 0xFF
+        m = stream[i + 1]
+        if m == 0xD9:
+            break
+        if m == 0xDA:
+            rest += stream[i:]
+            break
+        ln = _s.unpack_from(">H", stream, i + 2)[0]
+        seg = stream[i:i + 2 + ln]
+        if m in (0xDB, 0xC4):
+            tables += seg
+        else:
+            rest += seg
+        i += 2 + ln
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(rest)
+
+
+def _make_jpeg_tiff(tiles, tw, th, w, h, shared_tables):
+    """Little-endian tiled TIFF, compression 7; tiles: row-major list of
+    (th, tw, 1) uint8 arrays."""
+    import struct as _s
+
+    from geoio_jl_spark.sources.jpeg import encode as encode_jpeg
+
+    streams = [encode_jpeg(t, quality=95) for t in tiles]
+    jtab = None
+    if shared_tables:
+        pairs = [_strip_tables(s) for s in streams]
+        jtab = pairs[0][0]
+        streams = [p[1] for p in pairs]
+
+    header_guess = 8
+    ntags = 10 + (1 if jtab else 0)
+    ifd_off = header_guess
+    data_off = ifd_off + 2 + 12 * ntags + 4
+    extra = bytearray()
+    offsets, counts = [], []
+    pos = data_off
+    # tile offset/count arrays (if >1 tile they live out-of-line)
+    n = len(streams)
+    arr_bytes = 4 * n if n > 1 else 0
+    pos += 2 * arr_bytes + (len(jtab) if jtab else 0)
+    for s in streams:
+        offsets.append(pos)
+        counts.append(len(s))
+        pos += len(s)
+
+    def entry(tag, typ, cnt, vals, inline_size):
+        if inline_size <= 4:
+            raw = b"".join(_s.pack("<" + {3: "H", 4: "I"}[typ], v)
+                           for v in vals)
+            raw = raw.ljust(4, b"\x00")
+            return _s.pack("<HHI", tag, typ, cnt) + raw
+        return None  # caller handles out-of-line
+
+    out = bytearray()
+    out += b"II*\x00" + _s.pack("<I", ifd_off)
+    tags = [(256, 4, 1, [w]), (257, 4, 1, [h]), (258, 3, 1, [8]),
+            (259, 3, 1, [7]), (262, 3, 1, [1]), (277, 3, 1, [1]),
+            (322, 4, 1, [tw]), (323, 4, 1, [th])]
+    out += _s.pack("<H", ntags)
+    body_off = data_off
+    blobs = bytearray()
+    if n > 1:
+        off_arr_pos = body_off + len(blobs)
+        blobs += b"".join(_s.pack("<I", o) for o in offsets)
+        cnt_arr_pos = body_off + len(blobs)
+        blobs += b"".join(_s.pack("<I", c) for c in counts)
+        tags.append((324, 4, n, None))
+        tags.append((325, 4, n, None))
+    else:
+        tags.append((324, 4, 1, offsets))
+        tags.append((325, 4, 1, counts))
+    if jtab:
+        jt_pos = body_off + len(blobs)
+        blobs += jtab
+        tags.append((347, 7, len(jtab), None))
+    tags.sort(key=lambda t: t[0])
+    for tag, typ, cnt, vals in tags:
+        if vals is not None:
+            out += entry(tag, typ, cnt, vals, 4)
+        elif tag == 324:
+            out += _s.pack("<HHII", 324, 4, n, off_arr_pos)
+        elif tag == 325:
+            out += _s.pack("<HHII", 325, 4, n, cnt_arr_pos)
+        else:
+            out += _s.pack("<HHII", 347, 7, len(jtab), jt_pos)
+    out += _s.pack("<I", 0)
+    assert len(out) == data_off
+    out += blobs
+    for s in streams:
+        out += s
+    return bytes(out)
+
+
+@pytest.mark.parametrize("shared_tables", [False, True])
+def test_jpeg_compression_tiled(tmp_path, shared_tables):
+    tw = th = 16
+    vals = [40, 90, 160, 220]
+    tiles = [np.full((th, tw, 1), v, np.uint8) for v in vals]
+    p = str(tmp_path / f"jpegtiff_{shared_tables}.tif")
+    with open(p, "wb") as f:
+        f.write(_make_jpeg_tiff(tiles, tw, th, 32, 32, shared_tables))
+    arr, A, b, epsg = GT.read_raw(p)
+    assert arr.shape == (32, 32, 1)
+    got = [int(arr[8, 8, 0]), int(arr[8, 24, 0]),
+           int(arr[24, 8, 0]), int(arr[24, 24, 0])]
+    for g, v in zip(got, vals):
+        assert abs(g - v) <= 3        # constant tiles: DC quantization only
