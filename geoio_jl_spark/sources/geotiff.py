@@ -31,24 +31,45 @@ T_JPEGTABLES = 347
 T_MODEL_PIXEL_SCALE, T_MODEL_TIEPOINT, T_MODEL_TRANSFORM = 33550, 33922, 34264
 T_GEO_KEYS = 34735
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d"}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8,
+              13: 4, 16: 8, 17: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d",
+             13: "I", 16: "Q", 17: "q"}
 
 
 def _read_ifd(buf: bytes):
+    """Classic TIFF (magic 42) and BigTIFF (magic 43 — 8-byte offsets,
+    20-byte IFD entries; any COG past 4 GB, so the layout a 100-TB
+    archive actually ships)."""
     little = buf[:2] == b"II"
     e = "<" if little else ">"
     magic = struct.unpack_from(e + "H", buf, 2)[0]
-    if magic != 42:
+    if magic == 42:
+        off = struct.unpack_from(e + "I", buf, 4)[0]
+        n = struct.unpack_from(e + "H", buf, off)[0]
+        entry0, esize, inline = off + 2, 12, 4
+        cnt_fmt = "HHI"
+    elif magic == 43:
+        osize, pad = struct.unpack_from(e + "HH", buf, 4)
+        if osize != 8 or pad != 0:
+            raise ValueError("malformed BigTIFF header")
+        off = struct.unpack_from(e + "Q", buf, 8)[0]
+        n = struct.unpack_from(e + "Q", buf, off)[0]
+        entry0, esize, inline = off + 8, 20, 8
+        cnt_fmt = "HHQ"
+    else:
         raise ValueError("not a TIFF file")
-    off = struct.unpack_from(e + "I", buf, 4)[0]
-    n = struct.unpack_from(e + "H", buf, off)[0]
     tags = {}
     for k in range(n):
-        p = off + 2 + 12 * k
-        tag, typ, cnt = struct.unpack_from(e + "HHI", buf, p)
+        p = entry0 + esize * k
+        tag, typ, cnt = struct.unpack_from(e + cnt_fmt, buf, p)
         size = _TYPE_SIZE.get(typ, 1) * cnt
-        dpos = p + 8 if size <= 4 else struct.unpack_from(e + "I", buf, p + 8)[0]
+        vpos = p + (8 if esize == 12 else 12)
+        if size <= inline:
+            dpos = vpos
+        else:
+            dpos = struct.unpack_from(e + ("I" if inline == 4 else "Q"),
+                                      buf, vpos)[0]
         if typ in _TYPE_FMT:
             vals = struct.unpack_from(e + str(cnt) + _TYPE_FMT[typ], buf, dpos)
         elif typ == 5:  # rational

@@ -273,3 +273,38 @@ def test_jpeg_compression_tiled(tmp_path, shared_tables):
            int(arr[24, 8, 0]), int(arr[24, 24, 0])]
     for g, v in zip(got, vals):
         assert abs(g - v) <= 3        # constant tiles: DC quantization only
+
+
+def test_bigtiff_read(tmp_path):
+    """BigTIFF (magic 43): 8-byte offsets, 20-byte entries, LONG8 tags."""
+    import struct as _s
+
+    h, w = 4, 5
+    data = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+    raw = data.tobytes()
+    ntags = 8
+    ifd_off = 16
+    data_off = ifd_off + 8 + 20 * ntags + 8
+
+    def entry(tag, typ, cnt, val):
+        fmt = {3: "H", 4: "I", 16: "Q"}[typ]
+        packed = _s.pack("<" + fmt, val).ljust(8, b"\x00")
+        return _s.pack("<HHQ", tag, typ, cnt) + packed
+
+    out = bytearray()
+    out += b"II+\x00" + _s.pack("<HH", 8, 0) + _s.pack("<Q", ifd_off)
+    out += _s.pack("<Q", ntags)
+    for tag, typ, cnt, val in [
+            (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8),
+            (259, 3, 1, 1), (262, 3, 1, 1),
+            (273, 16, 1, data_off),       # LONG8 strip offset
+            (277, 3, 1, 1), (279, 16, 1, len(raw))]:
+        out += entry(tag, typ, cnt, val)
+    out += _s.pack("<Q", 0)
+    assert len(out) == data_off
+    out += raw
+    p = str(tmp_path / "big.tif")
+    with open(p, "wb") as f:
+        f.write(bytes(out))
+    arr, A, b, epsg = GT.read_raw(p)
+    np.testing.assert_array_equal(arr[:, :, 0], data)
