@@ -221,11 +221,15 @@ def _w_atts(atts: dict | None) -> bytes:
 
 def write(df: DataFrame, path: str, x: str = "x", y: str = "y",
           value_cols: list[str] | None = None,
-          crs_desc: dict | None = None) -> None:
+          crs_desc: dict | None = None, fmt: str = "classic") -> None:
     """Rectilinear/regular grids only (cdm.jl:100-102 constraint): the
     frame must be a complete (i, j) grid. ``crs_desc`` (F14) emits a
     scalar ``crs`` variable holding the CF grid-mapping attributes and
-    tags every value variable with grid_mapping="crs" (cdm.jl:282-306)."""
+    tags every value variable with grid_mapping="crs" (cdm.jl:282-306).
+
+    ``fmt="netcdf4"`` writes the same grid as an HDF5/NetCDF-4 file
+    through sources/hdf5write.py (the reference's NCDatasets default
+    format); ``"classic"`` keeps the CDF-1 codec below."""
     pdf = df.toPandas().sort_values(["j", "i"])
     xs = np.sort(pdf[x].unique())
     ys = np.sort(pdf[y].unique())
@@ -247,6 +251,26 @@ def write(df: DataFrame, path: str, x: str = "x", y: str = "y",
     from geoio_jl_spark.functions import cfgrid
     gm_atts = cfgrid.crs_to_gm(crs_desc) if crs_desc else None
     val_atts = {"grid_mapping": "crs"} if gm_atts else None
+    if fmt == "netcdf4":
+        from geoio_jl_spark.sources.hdf5write import write_raw
+        dims = [(y, ny), (x, nx)] + ([("t", nt)] if array_cols else [])
+        variables = {
+            y: ([y], {}, np.asarray(ys, np.float64)),
+            x: ([x], {}, np.asarray(xs, np.float64)),
+        }
+        for c in scalar_cols:
+            variables[c] = ([y, x], dict(val_atts or {}),
+                            np.asarray(pdf[c], np.float64).reshape(ny, nx))
+        for c in array_cols:
+            cube = np.array([np.asarray(v, np.float64) for v in pdf[c]]) \
+                .reshape(ny, nx, nt).transpose(2, 0, 1)
+            variables[c] = (["t", y, x], dict(val_atts or {}), cube)
+        if gm_atts:
+            variables["crs"] = ([], dict(gm_atts), np.int32(0))
+        write_raw(path, dims, variables, {})
+        return
+    if fmt != "classic":
+        raise ValueError(f"fmt must be 'classic' or 'netcdf4', got {fmt!r}")
     ndims = 2 + (1 if array_cols else 0)
     header = b"CDF\x01" + struct.pack(">i", 0)
     header += struct.pack(">ii", 10, ndims)  # dim_list

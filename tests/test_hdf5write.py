@@ -1,0 +1,126 @@
+"""NetCDF-4/HDF5 writer (sources/hdf5write.py): checksum conformance
+against the reference fixtures, dict round-trips through the fixture-
+validated reader, real-fixture content round-trips, and the
+netcdf3.write(fmt="netcdf4") grid path."""
+
+import glob
+import struct
+
+import numpy as np
+import pytest
+
+from geoio_jl_spark.sources import hdf5nc, netcdf3
+from geoio_jl_spark.sources.hdf5write import _lookup3, write_raw
+
+FIXTURES = sorted(glob.glob("/root/reference/test/data/*.nc"))
+
+
+def test_lookup3_matches_fixture_checksums():
+    """The Jenkins lookup3 implementation reproduces every stored
+    superblock and OHDR checksum of the reference fixtures."""
+    assert FIXTURES
+    checked = 0
+    for fix in FIXTURES:
+        buf = open(fix, "rb").read()
+        if buf[8] == 2:                     # superblock v2
+            stored = struct.unpack_from("<I", buf, 44)[0]
+            assert _lookup3(buf[:44]) == stored
+            checked += 1
+        start = 0
+        while True:
+            oh = buf.find(b"OHDR", start)
+            if oh < 0:
+                break
+            start = oh + 4
+            flags = buf[oh + 5]
+            pos = oh + 6
+            if flags & 0x20:
+                pos += 16
+            if flags & 0x10:
+                pos += 4
+            szb = 1 << (flags & 3)
+            chunk0 = int.from_bytes(buf[pos:pos + szb], "little")
+            pos += szb
+            stored = struct.unpack_from("<I", buf, pos + chunk0)[0]
+            assert _lookup3(buf[oh:pos + chunk0]) == stored
+            checked += 1
+    assert checked >= 20
+
+
+def test_write_read_roundtrip(tmp_path):
+    dims = [("x", 4), ("y", 3)]
+    variables = {
+        "x": (["x"], {"units": "m"}, np.arange(4, dtype=np.float64)),
+        "y": (["y"], {}, np.arange(3, dtype=np.float32)),
+        "temp": (["y", "x"], {"units": "K", "fill": np.float64(-9e9)},
+                 np.arange(12, dtype=np.float32).reshape(3, 4) * 1.5),
+        "count": (["y", "x"], {}, np.arange(12, np.int64(24),
+                                            dtype=np.int32).reshape(3, 4)),
+        "flag": ([], {}, np.int8(7)),
+    }
+    gatts = {"title": "rt", "version": np.int32(7),
+             "factors": np.array([1.5, 2.5])}
+    p = str(tmp_path / "rt.nc")
+    write_raw(p, dims, variables, gatts)
+    d = hdf5nc.read_raw(p)
+    assert d["dims"] == dims
+    assert d["gatts"]["title"] == "rt"
+    assert d["gatts"]["version"] == 7
+    np.testing.assert_array_equal(d["gatts"]["factors"], [1.5, 2.5])
+    for name, (dimnames, atts, arr) in variables.items():
+        gd, ga, garr = d["vars"][name]
+        if dimnames:
+            assert gd == dimnames
+        np.testing.assert_array_equal(np.asarray(garr), np.asarray(arr))
+        for k, v in atts.items():
+            assert np.asarray(ga[k]).item() == np.asarray(v).item() \
+                or ga[k] == v
+    assert d["vars"]["temp"][2].dtype == np.float32
+    assert d["vars"]["count"][2].dtype == np.int32
+
+
+@pytest.mark.parametrize("fix", FIXTURES)
+def test_fixture_content_roundtrip(fix, tmp_path):
+    """Read a REAL reference fixture, re-write it with the engine's
+    writer, re-read — dims, dimension mapping and every data array
+    survive bit-exactly (the reader is fixture-validated, so this pins
+    the writer against real-world content, not a twin implementation)."""
+    d = hdf5nc.read_raw(fix)
+    variables = {n: v for n, v in d["vars"].items() if v[2] is not None}
+    p = str(tmp_path / "rew.nc")
+    write_raw(p, d["dims"], variables, d["gatts"])
+    d2 = hdf5nc.read_raw(p)
+    assert d2["dims"] == d["dims"]
+    for name, (dimnames, atts, arr) in variables.items():
+        gd, ga, garr = d2["vars"][name]
+        assert garr is not None
+        np.testing.assert_array_equal(np.asarray(garr), np.asarray(arr))
+        if len(dimnames) == len(np.asarray(arr).shape):
+            assert gd == dimnames
+
+
+def test_netcdf_write_fmt_netcdf4(spark, tmp_path):
+    """The .nc sink's netcdf4 path round-trips through the magic-
+    dispatched reader identically to the classic path."""
+    from geoio_jl_spark.datagen import geo_points_pdf  # noqa: F401
+    import pandas as pd
+
+    ny, nx = 3, 4
+    rows = []
+    for j in range(ny):
+        for i in range(nx):
+            rows.append((i, j, 10.0 + i, 20.0 + j, float(i * j)))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["i", "j", "x", "y", "temp"]))
+    pc = str(tmp_path / "c.nc")
+    p4 = str(tmp_path / "n4.nc")
+    netcdf3.write(df, pc)
+    netcdf3.write(df, p4, fmt="netcdf4")
+    assert open(p4, "rb").read(8) == b"\x89HDF\r\n\x1a\n"
+    dc = netcdf3.read_raw(pc)
+    d4 = netcdf3.read_raw(p4)
+    assert [s for _, s in dc["dims"]] == [s for _, s in d4["dims"]]
+    np.testing.assert_array_equal(np.asarray(dc["vars"]["temp"][2]),
+                                  np.asarray(d4["vars"]["temp"][2]))
+    np.testing.assert_array_equal(np.asarray(dc["vars"]["x"][2]),
+                                  np.asarray(d4["vars"]["x"][2]))
