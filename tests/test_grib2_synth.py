@@ -826,3 +826,23 @@ def test_proj_projjson_roundtrip(tmp_path, maker, kwargs):
     x, y = fwd(pr["lon2d"], pr["lat2d"])
     np.testing.assert_allclose(x, gx, atol=1e-4)
     np.testing.assert_allclose(y, gy, atol=1e-4)
+
+
+def test_lambert_grid_wgs84_ellipsoid(tmp_path):
+    """Shape code 5 (WGS84): the ellipsoidal LCC path — corner pins and
+    the PROJJSON carries the inverse flattening."""
+    vals = np.zeros((3, 4))
+    msg = bytearray(make_message_lcc(vals, 33.0, 245.0, 39.0, 265.0,
+                                     33.0, 45.0, 40000.0, 40000.0))
+    msg[16 + 14] = 5                            # WGS84
+    p = str(tmp_path / "lcc84.grib2")
+    with open(p, "wb") as f:
+        f.write(bytes(msg))
+    m = grib2.read_raw(p)[0]
+    pr = m["proj"]
+    assert abs(pr["lat2d"][0, 0] - 33.0) < 1e-9
+    assert abs(pr["lon2d"][0, 0] - 245.0) < 1e-9
+    doc = grib2.proj_projjson(m)
+    ell = doc["base_crs"]["datum"]["ellipsoid"]
+    assert abs(ell["semi_major_axis"] - 6378137.0) < 1e-6
+    assert abs(ell["inverse_flattening"] - 298.257223563) < 1e-9
