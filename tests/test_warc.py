@@ -127,3 +127,46 @@ def test_wet_conversion_records(spark, tmp_path):
     assert got[0]["warc_type"] == "conversion"
     assert got[0]["http_status"] is None
     assert bytes(got[0]["payload"]) == b"extracted text of page a"
+
+
+def test_parser_honors_content_length_over_markers():
+    """Payloads may EMBED 'WARC/1.0' and blank lines — the parser must
+    walk by Content-Length, never by scanning for markers."""
+    evil = b"\r\n\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\nnot a record"
+    rec = (b"WARC/1.0\r\n"
+           b"WARC-Type: resource\r\n"
+           b"WARC-Record-ID: <urn:uuid:1>\r\n"
+           b"Content-Length: " + str(len(evil)).encode() + b"\r\n"
+           b"\r\n" + evil + b"\r\n\r\n")
+    rec2 = (b"WARC/1.0\r\n"
+            b"WARC-Type: resource\r\n"
+            b"WARC-Record-ID: <urn:uuid:2>\r\n"
+            b"Content-Length: 2\r\n"
+            b"\r\nok\r\n\r\n")
+    out = warc.parse_warc_bytes(rec + rec2, "f")
+    assert len(out) == 2
+    assert out[0]["payload"] == evil
+    assert out[1]["payload"] == b"ok"
+
+
+def test_parser_property_roundtrip_random_payloads():
+    import io
+    import gzip as _gz
+    import random
+
+    rnd = random.Random(11)
+    payloads = []
+    for i in range(40):
+        n = rnd.randrange(0, 200)
+        payloads.append(bytes(rnd.randrange(256) for _ in range(n)))
+    buf = io.BytesIO()
+    for i, p in enumerate(payloads):
+        rec = (b"WARC/1.0\r\n"
+               b"WARC-Type: resource\r\n"
+               b"WARC-Record-ID: <urn:uuid:" + str(i).encode() + b">\r\n"
+               b"Content-Length: " + str(len(p)).encode() + b"\r\n"
+               b"\r\n" + p + b"\r\n\r\n")
+        with _gz.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+            g.write(rec)
+    out = warc.parse_warc_bytes(buf.getvalue(), "f")
+    assert [r["payload"] for r in out] == payloads
