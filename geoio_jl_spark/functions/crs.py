@@ -474,6 +474,69 @@ def polar_stereographic(variant: str, lat0_or_ts: float, lon0: float,
     return fwd, inv
 
 
+def modified_azimuthal_equidistant(lat0: float, lon0: float, fe: float,
+                                   fn: float, ell: Ellipsoid = WGS84):
+    """Modified Azimuthal Equidistant, EPSG method 9832 (the
+    Guam/Micronesia island grids, e.g. EPSG:3295 Yap Islands) — EPSG
+    Guidance Note 7-2 series formulas; e = 0 reduces to the spherical
+    azimuthal equidistant, so the ESRI "Azimuthal_Equidistant" spelling
+    dispatches here too."""
+    a, e = ell.a, ell.e
+    e2 = ell.e2
+    p0 = np.radians(lat0)
+    lam0 = np.radians(lon0)
+    nu0 = a / np.sqrt(1 - e2 * np.sin(p0) ** 2)
+
+    def fwd(lon, lat):
+        phi = np.radians(np.asarray(lat, float))
+        dlam = np.radians(np.asarray(lon, float)) - lam0
+        nu = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        psi = np.arctan((1 - e2) * np.tan(phi)
+                        + e2 * nu0 * np.sin(p0) / (nu * np.cos(phi)))
+        alpha = np.arctan2(np.sin(dlam),
+                           np.cos(p0) * np.tan(psi)
+                           - np.sin(p0) * np.cos(dlam))
+        G = e * np.sin(p0) / np.sqrt(1 - e2)
+        H = e * np.cos(p0) * np.cos(alpha) / np.sqrt(1 - e2)
+        sin_a = np.sin(alpha)
+        s = np.where(
+            np.abs(sin_a) < 1e-12,
+            np.arcsin(np.clip(np.cos(p0) * np.sin(psi)
+                              - np.sin(p0) * np.cos(psi), -1, 1))
+            * np.sign(np.cos(alpha)),
+            np.arcsin(np.clip(np.sin(dlam) * np.cos(psi) / sin_a, -1, 1)))
+        c = nu0 * s * (
+            1 - s ** 2 * H ** 2 * (1 - H ** 2) / 6
+            + (s ** 3 / 8) * G * H * (1 - 2 * H ** 2)
+            + (s ** 4 / 120) * (H ** 2 * (4 - 7 * H ** 2)
+                                - 3 * G ** 2 * (1 - 7 * H ** 2))
+            - (s ** 5 / 48) * G * H)
+        return fe + c * np.sin(alpha), fn + c * np.cos(alpha)
+
+    def inv(x, y):
+        xx = np.asarray(x, float) - fe
+        yy = np.asarray(y, float) - fn
+        cp = np.sqrt(xx * xx + yy * yy)
+        alpha = np.arctan2(xx, yy)
+        A = -e2 * np.cos(p0) ** 2 * np.cos(alpha) ** 2 / (1 - e2)
+        B = (3 * e2 * (1 - A) * np.sin(p0) * np.cos(p0) * np.cos(alpha)
+             / (1 - e2))
+        D = cp / nu0
+        J = (D - A * (1 + A) * D ** 3 / 6
+             - B * (1 + 3 * A) * D ** 4 / 24)
+        K = 1 - A * J ** 2 / 2 - B * J ** 3 / 6
+        psi = np.arcsin(np.clip(np.sin(p0) * np.cos(J)
+                                + np.cos(p0) * np.sin(J) * np.cos(alpha),
+                                -1, 1))
+        phi = np.arctan((1 - e2 * K * np.sin(p0) / np.sin(psi))
+                        * np.tan(psi) / (1 - e2))
+        lam = lam0 + np.arcsin(np.clip(np.sin(alpha) * np.sin(J)
+                                       / np.cos(psi), -1, 1))
+        return np.degrees(lam), np.degrees(phi)
+
+    return fwd, inv
+
+
 def cassini_soldner(lat0: float, lon0: float, fe: float, fn: float,
                     ell: Ellipsoid = WGS84):
     """Cassini-Soldner (EPSG 9806; Snyder 13-1..13-13), e.g. the Hong

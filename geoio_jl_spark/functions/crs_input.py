@@ -301,6 +301,8 @@ def transform_from_projjson(doc: dict):
         return C.polar_stereographic("C", ts, lon_o, 1.0, fe, fn, ell)
     if m in ("cassinisoldner", "cassini"):
         return C.cassini_soldner(lat0, lon0, fe, fn, ell)
+    if m in ("modifiedazimuthalequidistant", "azimuthalequidistant"):
+        return C.modified_azimuthal_equidistant(lat0, lon0, fe, fn, ell)
     if m in ("robinson",):
         return C.robinson_projection(lon0, fe, fn, ell.a)
     if m in ("americanpolyconic", "polyconic"):

@@ -716,3 +716,66 @@ def test_sinusoidal_esri54008_and_modis_sphere():
     lo, la = tmi(*tm(lons, lats))
     np.testing.assert_allclose(lo, lons, atol=1e-9)
     np.testing.assert_allclose(la, lats, atol=1e-9)
+
+
+def test_modified_azimuthal_equidistant_guam_worked_example():
+    """EPSG method 9832 (Guam 1963 / Yap Islands, EPSG:3295): pinned to
+    the EPSG Guidance Note 7-2 worked example, dispatched through the
+    PROJJSON path."""
+    from geoio_jl_spark.functions.crs_input import transform_from_projjson
+
+    def dms(d, m, s):
+        return d + m / 60 + s / 3600
+
+    doc = {
+        "type": "ProjectedCRS",
+        "name": "Guam 1963 / Yap Islands",
+        "base_crs": {"datum": {"ellipsoid": {
+            "semi_major_axis": 6378206.4,
+            "inverse_flattening": 294.97869821}}},
+        "conversion": {
+            "method": {"name": "Modified Azimuthal Equidistant"},
+            "parameters": [
+                {"name": "Latitude of natural origin",
+                 "value": dms(9, 32, 48.15), "unit": "degree"},
+                {"name": "Longitude of natural origin",
+                 "value": dms(138, 10, 7.48), "unit": "degree"},
+                {"name": "False easting", "value": 40000.0,
+                 "unit": "metre"},
+                {"name": "False northing", "value": 60000.0,
+                 "unit": "metre"},
+            ],
+        },
+    }
+    fwd, inv = transform_from_projjson(doc)
+    E, N = fwd(dms(138, 11, 34.908), dms(9, 35, 47.493))
+    assert abs(float(E) - 42665.90) < 0.02
+    assert abs(float(N) - 65509.82) < 0.02
+    lo, la = inv(E, N)
+    assert abs(float(lo) - dms(138, 11, 34.908)) < 1e-9
+    assert abs(float(la) - dms(9, 35, 47.493)) < 1e-9
+
+
+def test_azimuthal_equidistant_sphere_reduction():
+    """e = 0 reduces 9832 to the spherical azimuthal equidistant:
+    distance from the origin equals R times the great-circle angle."""
+    import numpy as np
+
+    from geoio_jl_spark.functions.crs import (Ellipsoid,
+                                              modified_azimuthal_equidistant)
+    R = 6371000.0
+    fwd, inv = modified_azimuthal_equidistant(
+        40.0, 10.0, 0.0, 0.0, Ellipsoid(R, 0.0))
+    rng = np.random.default_rng(3)
+    lons = 10.0 + rng.uniform(-40, 40, 20)
+    lats = 40.0 + rng.uniform(-30, 30, 20)
+    x, y = fwd(lons, lats)
+    p0, l0 = np.radians(40.0), np.radians(10.0)
+    phi, lam = np.radians(lats), np.radians(lons)
+    ang = np.arccos(np.clip(
+        np.sin(p0) * np.sin(phi)
+        + np.cos(p0) * np.cos(phi) * np.cos(lam - l0), -1, 1))
+    np.testing.assert_allclose(np.hypot(x, y), R * ang, rtol=1e-9)
+    lo, la = inv(x, y)
+    np.testing.assert_allclose(lo, lons, atol=1e-9)
+    np.testing.assert_allclose(la, lats, atol=1e-9)
