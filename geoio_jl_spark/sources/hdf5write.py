@@ -21,6 +21,7 @@ inverse of ``hdf5nc.read_raw``'s ``{dims, gatts, vars}`` dict.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -134,11 +135,33 @@ def _ohdr(messages: bytes) -> bytes:
     return body + struct.pack("<I", _lookup3(body))
 
 
+def _btree_chunk_node(shape, csize: int, data_addr: int) -> bytes:
+    """v1 B-tree (type 1, level 0) indexing ONE chunk covering the whole
+    dataset — the chunked layout the reader walks; keys are
+    (chunk bytes u4, filter mask u4, nd offsets u8) with the element
+    dimension appended."""
+    nd = len(shape) + 1
+    key0 = struct.pack("<II", csize, 0) + b"\x00" * (8 * nd)
+    key1 = struct.pack("<II", 0, 0)
+    for s in shape:
+        key1 += struct.pack("<Q", s)
+    key1 += struct.pack("<Q", 0)
+    node = (b"TREE" + bytes([1, 0]) + struct.pack("<H", 1)
+            + struct.pack("<QQ", UNDEF, UNDEF)
+            + key0 + struct.pack("<Q", data_addr) + key1)
+    return node
+
+
 def write_raw(path: str, dims: list[tuple[str, int]],
-              variables: dict, gatts: dict | None = None) -> None:
+              variables: dict, gatts: dict | None = None,
+              compress: bool = False) -> None:
     """variables: name → (dimnames, atts, np.ndarray); a variable whose
     name matches a dim is its coordinate (dimension-scale) dataset;
-    dims without a matching variable get an empty scale."""
+    dims without a matching variable get an empty scale.
+
+    ``compress=True`` stores every dataset as a single deflate chunk
+    (chunked v3 layout + v1 B-tree index + filter pipeline) — the
+    compressed NetCDF-4 shape the reference fixtures themselves use."""
     gatts = gatts or {}
     dim_sizes = dict(dims)
     order: list[str] = [d for d, _ in dims]
@@ -146,25 +169,52 @@ def write_raw(path: str, dims: list[tuple[str, int]],
         if name not in dim_sizes:
             order.append(name)
 
+    def _arr_of(name):
+        if name in variables:
+            a = np.asarray(variables[name][2])
+        else:
+            a = np.zeros(dim_sizes[name], np.float32)
+        return np.ascontiguousarray(a.astype(a.dtype.newbyteorder("<")))
+
+    arrays = {name: _arr_of(name) for name in order}
+    chunked = {name: bool(compress and arrays[name].ndim >= 1
+                          and arrays[name].size)
+               for name in order}
+    data_bytes = {
+        name: (zlib.compress(arrays[name].tobytes(), 4)
+               if chunked[name] else arrays[name].tobytes())
+        for name in order}
+
     # pass structure: [superblock][var OHDRs...][GCOL][data blocks...]
     def build(addr: dict[str, int], gcol_addr: int,
-              gcol_index: dict[str, int], data_addr: dict[str, int]):
+              gcol_index: dict[str, int], data_addr: dict[str, int],
+              btree_addr: dict[str, int]):
         objs: dict[str, bytes] = {}
         for name in order:
             if name in variables:
-                dimnames, atts, arr = variables[name]
-                arr = np.asarray(arr)
+                dimnames, atts, _ = variables[name]
             else:
                 dimnames, atts = [name], {}
-                arr = np.zeros(dim_sizes[name], np.float32)
-            arr = np.ascontiguousarray(
-                arr.astype(arr.dtype.newbyteorder("<")))
+            arr = arrays[name]
             msgs = b""
             msgs += _msg(0x01, _ds(arr.shape))
             msgs += _msg(0x03, _dt_for(arr.dtype))
-            msgs += _msg(0x08, bytes([3, 1])
-                         + struct.pack("<QQ", data_addr.get(name, 0),
-                                       arr.nbytes))
+            if chunked[name]:
+                nd = arr.ndim + 1
+                lay = bytes([3, 2, nd]) \
+                    + struct.pack("<Q", btree_addr.get(name, 0))
+                for s in arr.shape:
+                    lay += struct.pack("<I", s)
+                lay += struct.pack("<I", arr.dtype.itemsize)
+                msgs += _msg(0x08, lay)
+                filt = bytes([1, 1]) + b"\x00" * 6 \
+                    + struct.pack("<HHHH", 1, 0, 1, 1) \
+                    + struct.pack("<I", 4) + b"\x00" * 4
+                msgs += _msg(0x0B, filt)
+            else:
+                msgs += _msg(0x08, bytes([3, 1])
+                             + struct.pack("<QQ", data_addr.get(name, 0),
+                                           arr.nbytes))
             if name in dim_sizes:
                 msgs += _attr_of("CLASS", "DIMENSION_SCALE")
                 msgs += _attr_of("_Netcdf4Dimid",
@@ -209,7 +259,7 @@ def write_raw(path: str, dims: list[tuple[str, int]],
         return root, objs, gcol
 
     # pass 1: sizes with dummy addresses
-    root, objs, gcol = build({}, 0, {}, {})
+    root, objs, gcol = build({}, 0, {}, {}, {})
     pos = 48
     root_addr = pos
     pos += len(root)
@@ -226,18 +276,29 @@ def write_raw(path: str, dims: list[tuple[str, int]],
             gcol_index[name] = i
             i += 1
     data_addr: dict[str, int] = {}
+    btree_addr: dict[str, int] = {}
+    btrees: dict[str, bytes] = {}
     for name in order:
         pos = (pos + 7) & ~7
+        if chunked[name]:
+            btree_addr[name] = pos
+            # placeholder with dummy data addr; rebuilt below
+            node = _btree_chunk_node(arrays[name].shape,
+                                     len(data_bytes[name]), 0)
+            pos += len(node)
+            pos = (pos + 7) & ~7
         data_addr[name] = pos
-        if name in variables:
-            a = np.asarray(variables[name][2])
-        else:
-            a = np.zeros(dim_sizes[name], np.float32)
-        pos += a.nbytes
+        pos += len(data_bytes[name])
     eof = pos
+    for name in order:
+        if chunked[name]:
+            btrees[name] = _btree_chunk_node(
+                arrays[name].shape, len(data_bytes[name]),
+                data_addr[name])
 
     # pass 2: real addresses (all fields fixed-width → sizes identical)
-    root2, objs2, gcol2 = build(addr, gcol_addr, gcol_index, data_addr)
+    root2, objs2, gcol2 = build(addr, gcol_addr, gcol_index, data_addr,
+                                btree_addr)
     assert len(root2) == len(root) and len(gcol2) == len(gcol)
 
     sb = (b"\x89HDF\r\n\x1a\n" + bytes([2, 8, 8, 0])
@@ -251,11 +312,10 @@ def write_raw(path: str, dims: list[tuple[str, int]],
         out[addr[name]:addr[name] + len(objs2[name])] = objs2[name]
     out[gcol_addr:gcol_addr + len(gcol2)] = gcol2
     for name in order:
-        if name in variables:
-            a = np.asarray(variables[name][2])
-        else:
-            a = np.zeros(dim_sizes[name], np.float32)
-        a = np.ascontiguousarray(a.astype(a.dtype.newbyteorder("<")))
-        out[data_addr[name]:data_addr[name] + a.nbytes] = a.tobytes()
+        if chunked[name]:
+            out[btree_addr[name]:btree_addr[name] + len(btrees[name])] = \
+                btrees[name]
+        db = data_bytes[name]
+        out[data_addr[name]:data_addr[name] + len(db)] = db
     with open(path, "wb") as f:
         f.write(bytes(out))

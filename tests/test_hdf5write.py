@@ -124,3 +124,33 @@ def test_netcdf_write_fmt_netcdf4(spark, tmp_path):
                                   np.asarray(d4["vars"]["temp"][2]))
     np.testing.assert_array_equal(np.asarray(dc["vars"]["x"][2]),
                                   np.asarray(d4["vars"]["x"][2]))
+
+
+@pytest.mark.parametrize("fix", FIXTURES)
+def test_fixture_roundtrip_compressed(fix, tmp_path):
+    """Deflate-chunked output (the fixtures' own storage shape) carries
+    the same content."""
+    d = hdf5nc.read_raw(fix)
+    variables = {n: v for n, v in d["vars"].items() if v[2] is not None}
+    p = str(tmp_path / "rewc.nc")
+    write_raw(p, d["dims"], variables, d["gatts"], compress=True)
+    d2 = hdf5nc.read_raw(p)
+    assert d2["dims"] == d["dims"]
+    for name, (dimnames, atts, arr) in variables.items():
+        np.testing.assert_array_equal(np.asarray(d2["vars"][name][2]),
+                                      np.asarray(arr))
+
+
+def test_compress_shrinks_and_roundtrips(tmp_path):
+    dims = [("x", 64), ("y", 64)]
+    smooth = np.add.outer(np.arange(64.0), np.arange(64.0)) \
+        .astype(np.float32)
+    variables = {"z": (["y", "x"], {}, smooth)}
+    pu = str(tmp_path / "u.nc")
+    pc = str(tmp_path / "c.nc")
+    write_raw(pu, dims, variables, {})
+    write_raw(pc, dims, variables, {}, compress=True)
+    import os
+    assert os.path.getsize(pc) < os.path.getsize(pu) / 2
+    np.testing.assert_array_equal(
+        hdf5nc.read_raw(pc)["vars"]["z"][2], smooth)
