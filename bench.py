@@ -41,7 +41,7 @@ HEADLINE = [
     "url_canonical", "url_dup_groups", "quality_model_score", "zorder_cells",
     "mercator3395", "lambert93", "rd_new", "sinusoidal",
     "chunk_dedup", "chunk_removed", "pii_redact", "decontaminate",
-    "mix_sample",
+    "mix_sample", "corpus_card",
     "vocab_topk", "raster_warp",
 ]
 

@@ -2099,6 +2099,41 @@ def _sql_tile_pyramid() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Q: corpus dataset card — the per-source stats table a corpus release
+# ships (docs, tokens, language spread, exact-dup rate, mean length).
+# One partial-aggregated groupBy pass; the avg goes through the
+# floor(x·1e6) convention (exact int sum / int count → one double
+# division in both engines).
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.groupBy("source").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.sum(F.size(toks)).cast("bigint").alias("n_tokens"),
+        F.count_distinct("lang").cast("int").alias("n_langs"),
+        (F.count("*") - F.count_distinct(F.md5("text"))).cast("int")
+        .alias("n_dup_texts"),
+        F.floor(F.avg(F.length("text")) * 1000000).cast("bigint")
+        .alias("avg_chars_e6"),
+    )
+
+
+_SQL_CORPUS_CARD = """
+SELECT source,
+       CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT lang) AS INT) AS n_langs,
+       CAST(count(*) - count(DISTINCT md5(text)) AS INT) AS n_dup_texts,
+       CAST(floor(avg(length(text)) * 1000000) AS BIGINT) AS avg_chars_e6
+FROM documents
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2160,6 +2195,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "mix_sample": (q_mix_sample, _SQL_MIX_SAMPLE),
         "bpe_merges": (q_bpe_merges, _sql_bpe_merges()),
         "tile_pyramid": (q_tile_pyramid, _sql_tile_pyramid()),
+        "corpus_card": (q_corpus_card, _SQL_CORPUS_CARD),
         "vocab_topk": (q_vocab_topk, _SQL_VOCAB_TOPK),
         "ivf_topk": (q_ivf_topk, _sql_ivf_topk()),
         "session_rollup": (q_session_rollup, _sql_session_rollup()),
