@@ -332,3 +332,54 @@ def stream_minhash_dedup(stream: DataFrame, output_path: str,
         out_docs.write.mode("append").parquet(output_path)
 
     return stream.writeStream.foreachBatch(process)
+
+
+def stream_tile_counts(stream: DataFrame, store_path: str,
+                       x_col: str = "lon_i", y_col: str = "lat_i",
+                       base_tile: int = 64):
+    """Continuously updated map tiles from an event stream — the
+    streaming half of ``operators/pyramid.tile_pyramid``.
+
+    Each micro-batch partial-aggregates its points at the finest zoom
+    and APPENDS the per-epoch tile counts to a parquet store (no
+    read-modify-write races; epochs are immutable).  The live tile
+    table is ``rollup_tiles(spark, store_path, ...)`` — a fold over the
+    epoch partials that costs O(|distinct tiles| × epochs touched), so
+    a periodic compaction (re-writing the folded table as one epoch)
+    bounds read cost at scale; the batch pyramid operator then rolls
+    the folded base level up the zoom hierarchy unchanged.
+
+    Returns the ``DataStreamWriter`` (caller starts it)."""
+    ts = F.lit(base_tile)
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        (batch
+         .select(F.floor(F.col(x_col) / ts).alias("tx"),
+                 F.floor(F.col(y_col) / ts).alias("ty"))
+         .groupBy("tx", "ty")
+         .agg(F.count("*").alias("n"))
+         .withColumn("epoch", F.lit(epoch))
+         .write.mode("append").parquet(store_path))
+
+    return stream.writeStream.foreachBatch(process)
+
+
+def rollup_tiles(spark, store_path: str, max_zoom: int,
+                 min_zoom: int = 0):
+    """Fold the epoch partials into current tiles, then roll up the
+    zoom hierarchy with the batch pyramid machinery."""
+    base = (spark.read.parquet(store_path)
+            .groupBy("tx", "ty").agg(F.sum("n").alias("n")))
+    # tile_pyramid counts rows, but the folded base carries weights —
+    # run the weighted rollup directly (the operator's same 4:1 fold
+    # with checkpointed levels)
+    cur = base.localCheckpoint()
+    res = cur.select(F.lit(max_zoom).alias("zoom"), "tx", "ty", "n")
+    for z in range(max_zoom - 1, min_zoom - 1, -1):
+        cur = (cur.select(F.floor(F.col("tx") / 2).alias("tx"),
+                          F.floor(F.col("ty") / 2).alias("ty"), "n")
+               .groupBy("tx", "ty").agg(F.sum("n").alias("n"))
+               .localCheckpoint())
+        res = res.unionByName(
+            cur.select(F.lit(z).alias("zoom"), "tx", "ty", "n"))
+    return res

@@ -236,3 +236,53 @@ def test_stream_minhash_dedup_incremental(spark, tmp_path):
     # the store holds buckets only for kept docs
     n_store = spark.read.parquet(store).count()
     assert n_store > 0
+
+
+def test_stream_tile_counts_rollup(spark, tmp_path):
+    """Streaming tile store: epoch partials fold into the same pyramid
+    a batch pass over the union computes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geoio_jl_spark.operators.pyramid import tile_pyramid
+    from geoio_jl_spark.streaming.pipeline import (rollup_tiles,
+                                                   stream_tile_counts)
+
+    src = tmp_path / "pts"
+    src.mkdir()
+    store = str(tmp_path / "tiles")
+
+    def add_file(name, ids):
+        pq.write_table(pa.table({
+            "lon_i": pa.array([(i * 48271) % 3600 for i in ids],
+                              pa.int64()),
+            "lat_i": pa.array([(i * 69621) % 1700 for i in ids],
+                              pa.int64())}), str(src / name))
+
+    def run_once():
+        stream = spark.readStream.schema("lon_i long, lat_i long") \
+            .parquet(str(src))
+        q = (stream_tile_counts(stream, store, base_tile=32)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / "ckpt_tc"))
+             .start())
+        q.awaitTermination(120)
+
+    add_file("f1.parquet", range(0, 400))
+    run_once()
+    add_file("f2.parquet", range(400, 1000))
+    run_once()
+
+    got = {(r["zoom"], r["tx"], r["ty"]): r["n"]
+           for r in rollup_tiles(spark, store, max_zoom=4).collect()}
+    pts = spark.range(1000).select(
+        ((F.col("id") * 48271) % 3600).alias("lon_i"),
+        ((F.col("id") * 69621) % 1700).alias("lat_i"))
+    # batch pyramid over the union, adjusted to the same finest tiling
+    want = {(r["zoom"], r["tx"], r["ty"]): r["n"]
+            for r in tile_pyramid(pts, "lon_i", "lat_i", max_zoom=4,
+                                  base_tile=32).collect()}
+    assert got == want
+    # epochs are immutable partials: two epochs present in the store
+    assert (spark.read.parquet(store).select("epoch").distinct()
+            .count() == 2)
