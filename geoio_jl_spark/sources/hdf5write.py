@@ -106,6 +106,10 @@ def _ds(shape) -> bytes:
 
 
 def _msg(mtype: int, payload: bytes) -> bytes:
+    if len(payload) > 0xFFFF:
+        raise ValueError(
+            f"header message payload {len(payload)} bytes exceeds the "
+            "64 KiB v2 object-header message limit")
     return bytes([mtype]) + struct.pack("<H", len(payload)) + b"\x00" \
         + payload
 
@@ -124,7 +128,8 @@ def _attr_of(name: str, v) -> bytes:
         return _attr(name, _dt_str(len(vb)), _ds(()), vb)
     arr = np.asarray(v)
     if arr.shape == ():
-        return _attr(name, _dt_for(arr.dtype), _ds(()), arr.tobytes())
+        a0 = arr.astype(arr.dtype.newbyteorder("<"))
+        return _attr(name, _dt_for(a0.dtype), _ds(()), a0.tobytes())
     a = np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("<")))
     return _attr(name, _dt_for(a.dtype), _ds(a.shape), a.tobytes())
 
@@ -222,6 +227,10 @@ def write_raw(path: str, dims: list[tuple[str, int]],
             elif dimnames:
                 val = b""
                 for dn in dimnames:
+                    if dn not in dim_sizes:
+                        raise ValueError(
+                            f"variable {name!r} references undeclared "
+                            f"dimension {dn!r}")
                     val += struct.pack("<IQI", 1, gcol_addr,
                                        gcol_index.get(dn, 1))
                 msgs += _attr("DIMENSION_LIST", _DT_VLEN_REF,
@@ -239,6 +248,9 @@ def write_raw(path: str, dims: list[tuple[str, int]],
         root_msgs = b""
         for name in order:
             nb = name.encode()
+            if len(nb) > 255:
+                raise ValueError(
+                    f"variable name {name!r} exceeds 255 encoded bytes")
             root_msgs += _msg(0x06, bytes([1, 0, len(nb)]) + nb
                               + struct.pack("<Q", addr.get(name, 0)))
         for k, v in gatts.items():
@@ -254,8 +266,15 @@ def write_raw(path: str, dims: list[tuple[str, int]],
                 gobjs += struct.pack("<HHIQ", gcol_index.get(name, 1), 1,
                                      0, 8)
                 gobjs += struct.pack("<Q", addr.get(name, 0))
+        # collection size includes the 16-byte header (sig+ver+res+size);
+        # the spec minimum collection size is 4096 — pad with a final
+        # free-space object (index 0) so conformant readers see a valid
+        # layout (review finding)
+        total = max(4096, 16 + len(gobjs) + 16)
+        rem = total - 16 - len(gobjs)
+        free = struct.pack("<HHIQ", 0, 0, 0, rem) + b"\x00" * (rem - 16)
         gcol = b"GCOL" + bytes([1, 0, 0, 0]) \
-            + struct.pack("<Q", 12 + len(gobjs)) + gobjs
+            + struct.pack("<Q", total) + gobjs + free
         return root, objs, gcol
 
     # pass 1: sizes with dummy addresses

@@ -494,7 +494,18 @@ class _Band:
 def decode_j2k(data: bytes) -> tuple[np.ndarray, dict]:
     """Decode a raw lossless J2K codestream → (values (h, w) int64, info).
 
-    Values are the original component samples (DC level shift undone)."""
+    Values are the original component samples (DC level shift undone).
+    All failures — including truncated/malformed input — surface as
+    :class:`J2KError`."""
+    try:
+        return _decode_j2k_inner(data)
+    except J2KError:
+        raise
+    except (struct.error, IndexError) as exc:
+        raise J2KError(f"truncated or malformed codestream: {exc}") from exc
+
+
+def _decode_j2k_inner(data: bytes) -> tuple[np.ndarray, dict]:
     if len(data) < 4 or struct.unpack_from(">H", data, 0)[0] != _SOC:
         raise J2KError("not a JPEG 2000 codestream (no SOC)")
     pos = 2
@@ -517,9 +528,18 @@ def decode_j2k(data: bytes) -> tuple[np.ndarray, dict]:
             if isot != 0 or tpsot != 0 or (tnsot not in (0, 1)):
                 raise J2KError("multi-tile / multi-tile-part codestream "
                                "unsupported")
-            # scan for SOD within the tile-part header
+            # scan for SOD within the tile-part header; only harmless
+            # markers may appear here — a tile-part PPT/COD/QCD/COC/QCC/
+            # RGN would change decoding parameters, so skipping one
+            # silently would mis-decode (review finding)
             tp = pos + 2 + ln
-            while struct.unpack_from(">H", data, tp)[0] != _SOD:
+            while True:
+                m2 = struct.unpack_from(">H", data, tp)[0]
+                if m2 == _SOD:
+                    break
+                if m2 not in _SKIPPABLE:
+                    raise J2KError(
+                        f"unsupported tile-part header marker 0x{m2:04X}")
                 l2 = struct.unpack_from(">H", data, tp + 2)[0]
                 tp += 2 + l2
             body0 = tp + 2

@@ -154,3 +154,37 @@ def test_compress_shrinks_and_roundtrips(tmp_path):
     assert os.path.getsize(pc) < os.path.getsize(pu) / 2
     np.testing.assert_array_equal(
         hdf5nc.read_raw(pc)["vars"]["z"][2], smooth)
+
+
+def test_scalar_bigendian_attribute_roundtrips(tmp_path):
+    p = str(tmp_path / "be.nc")
+    write_raw(p, [("x", 2)],
+              {"x": (["x"], {"s": np.array(1.5, ">f8")},
+                     np.arange(2.0))}, {})
+    ga = hdf5nc.read_raw(p)["vars"]["x"][1]
+    assert float(np.asarray(ga["s"])) == 1.5
+
+
+def test_undeclared_dimension_raises(tmp_path):
+    with pytest.raises(ValueError, match="undeclared dimension 'x'"):
+        write_raw(str(tmp_path / "bad.nc"), [("y", 4)],
+                  {"v": (["x"], {}, np.arange(4.0))}, {})
+
+
+def test_oversize_variable_name_raises(tmp_path):
+    with pytest.raises(ValueError, match="255"):
+        write_raw(str(tmp_path / "nm.nc"), [],
+                  {"v" * 300: ([], {}, np.int32(1))}, {})
+
+
+def test_gcol_meets_spec_minimum(tmp_path):
+    """Collection size includes its 16-byte header and is >= 4096 with a
+    terminating free-space object."""
+    p = str(tmp_path / "g.nc")
+    write_raw(p, [("x", 3)], {"x": (["x"], {}, np.arange(3.0)),
+                              "v": (["x"], {}, np.arange(3.0))}, {})
+    buf = open(p, "rb").read()
+    g = buf.index(b"GCOL")
+    size = struct.unpack_from("<Q", buf, g + 8)[0]
+    assert size >= 4096
+    assert g + size <= len(buf)

@@ -168,3 +168,29 @@ def test_decoder_rejects_unsupported_shapes():
     two[41] = 2
     with pytest.raises(J2KError, match="components"):
         decode_j2k(bytes(two))
+
+
+def test_tilepart_param_marker_rejected():
+    """A PPT/COC/QCC in the tile-part header changes decoding parameters
+    — skipping it silently would mis-decode, so it must raise."""
+    img = np.zeros((4, 4), np.int64)
+    cs = bytearray(encode_j2k_lossless(img, 8, levels=0))
+    sot = cs.index(b"\xff\x90")
+    sod = cs.index(b"\xff\x93", sot)
+    ppt = b"\xff\x61\x00\x03\x00"          # PPT, Lppt=3, index 0
+    cs2 = bytes(cs[:sod]) + ppt + bytes(cs[sod:])
+    # fix Psot (tile-part length grew)
+    import struct as _s
+    psot = _s.unpack_from(">I", cs2, sot + 6)[0]
+    cs2 = bytearray(cs2)
+    _s.pack_into(">I", cs2, sot + 6, psot + len(ppt))
+    with pytest.raises(J2KError, match="tile-part header marker 0xFF61"):
+        decode_j2k(bytes(cs2))
+
+
+def test_truncated_input_raises_named_error():
+    img = np.arange(64, dtype=np.int64).reshape(8, 8) % 256
+    cs = encode_j2k_lossless(img, 8, levels=1)
+    for cut in (3, 7, 21, 45, len(cs) // 2):
+        with pytest.raises(J2KError):
+            decode_j2k(cs[:cut])
