@@ -104,7 +104,21 @@ def apply_bpe(docs: DataFrame, merges: list[tuple[str, int] | str],
 
     Merges are applied per WORD inside the array lambda — never across
     word boundaries (a merged symbol ending in the terminal marker must
-    not pair with the next word's first character)."""
+    not pair with the next word's first character).
+
+    The merge list compiles into one Catalyst expression of
+    ``len(merges) × _REPLACE_PASSES`` nested replaces, so this form is
+    for SMALL merge tables (analysis cost and JVM codegen limits are
+    superlinear in expression depth); a production tokenizer with
+    thousands of merges should apply them round-by-round over a
+    materialized column (train_bpe's shape) or in an Arrow kernel —
+    enforced with a named error rather than an opaque codegen failure."""
+    if len(merges) > 64:
+        raise ValueError(
+            f"{len(merges)} merges would compile into a "
+            f"{len(merges) * _REPLACE_PASSES}-deep expression tree; "
+            "apply large merge tables round-by-round over a "
+            "materialized column instead")
     pairs = [(m[0] if isinstance(m, tuple) else m) for m in merges]
 
     def word_to_sym(w):

@@ -8,9 +8,14 @@ so its distinct n-gram set is built once and BROADCAST — the training
 side stays a scan → explode → broadcast-hash-semi-join → per-doc partial
 count, with no all-to-all shuffle of corpus n-grams.  At eval sets too
 large to broadcast raw strings, ``use_hash=True`` joins on xxhash64
-fingerprints (8 bytes/gram instead of ~10×), the standard trick; the
-string path is kept for exact-arithmetic oracles and the two paths are
-asserted equivalent in tests.
+fingerprints (8 bytes/gram instead of ~10×), the standard trick.  The
+hash path is APPROXIMATE: a 64-bit collision between any corpus gram
+and any eval gram false-flags a clean doc (expected collisions grow
+with \\|corpus grams\\| × \\|eval grams\\| / 2^64 — negligible at test
+scale, a real consideration at 10^12 × 10^8), and colliding distinct
+grams merge in the per-doc count.  The string path is exact and is
+what the driver oracle runs; the two paths agree on collision-free
+data (asserted in tests).
 """
 
 from __future__ import annotations

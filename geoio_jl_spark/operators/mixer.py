@@ -22,15 +22,29 @@ _M32 = 4294967296            # 2^32
 
 
 def sample_uniform(key: Column) -> Column:
-    """Deterministic 32-bit uniform in [0, 2^32) from an integer key."""
-    return ((key.cast("bigint") % _M32 % 2147483648) * _KNUTH) % _M32
+    """Deterministic 32-bit uniform in [0, 2^32) from an integer key.
+
+    ``pmod`` (not ``%``) keeps the value non-negative for NEGATIVE keys
+    — xxhash64-derived ids are negative for half of all rows, and a
+    signed ``%`` would make every negative-id row compare below any
+    threshold, i.e. always kept regardless of weight (review finding)."""
+    return F.pmod(F.pmod(key.cast("bigint"), F.lit(2147483648)) * _KNUTH,
+                  F.lit(_M32))
 
 
 def weighted_sample(df: DataFrame, weights: dict[str, float],
                     strat_col: str = "source",
                     key_col: str = "doc_id",
                     default: float = 1.0) -> DataFrame:
-    """Keep each row with its stratum's probability, deterministically."""
+    """Keep each row with its stratum's probability, deterministically.
+
+    ``key_col`` must be an integral column (the uniform is arithmetic on
+    the id); a string key would cast to NULL and silently drop every
+    row, so non-integral key types are rejected up front."""
+    kind = dict(df.dtypes).get(key_col)
+    if kind not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"key_col {key_col!r} must be an integral column, got {kind}")
     thresh = F.lit(int(default * _M32))
     for src, w in weights.items():
         thresh = F.when(F.col(strat_col) == src,

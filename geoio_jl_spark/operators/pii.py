@@ -62,6 +62,11 @@ def card_redact_sql(text_expr: str, dialect: str) -> str:
     left fold over the valid candidates.  Same composition in both
     dialects (Spark ``aggregate`` / DuckDB ``list_reduce`` with the
     text prepended as the fold seed)."""
+    # The fold replaces with \b-anchored regex, not literal replace: a
+    # candidate's digit run can also appear EMBEDDED in a longer token
+    # ("a4532...66b") that the \b-anchored extraction pattern explicitly
+    # did not match, and a literal replace would over-redact it (review
+    # finding).  Candidates are pure digits, so no regex escaping needed.
     if dialect == "spark":
         # Spark SQL string literals process backslash escapes; DuckDB's
         # don't — double them on the Spark side only (urls.py's _pat
@@ -69,12 +74,14 @@ def card_redact_sql(text_expr: str, dialect: str) -> str:
         pat = CARD_RE.replace("\\", "\\\\")
         cands = (f"filter(regexp_extract_all({text_expr}, "
                  f"'{pat}', 0), c -> {_luhn_valid_sql('c', 'spark')})")
-        return (f"aggregate({cands}, {text_expr}, "
-                f"(acc, c) -> replace(acc, c, '{CARD_TOKEN}'))")
+        return (f"aggregate({cands}, {text_expr}, (acc, c) -> "
+                f"regexp_replace(acc, concat('\\\\b', c, '\\\\b'), "
+                f"'{CARD_TOKEN}'))")
     cands = (f"list_filter(regexp_extract_all({text_expr}, '{CARD_RE}'), "
              f"c -> {_luhn_valid_sql('c', 'duckdb')})")
     return (f"list_reduce(list_prepend({text_expr}, {cands}), "
-            f"(acc, c) -> replace(acc, c, '{CARD_TOKEN}'))")
+            f"(acc, c) -> regexp_replace(acc, '\\b' || c || '\\b', "
+            f"'{CARD_TOKEN}', 'g'))")
 
 
 def card_count_sql(text_expr: str, dialect: str) -> str:

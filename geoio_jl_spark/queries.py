@@ -2009,7 +2009,8 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_MIX_SAMPLE = """
 SELECT source, CAST(count(*) AS INT) AS kept
 FROM documents
-WHERE ((doc_id % 4294967296 % 2147483648) * 2654435761) % 4294967296 <
+WHERE ((((doc_id % 2147483648) + 2147483648) % 2147483648)
+       * 2654435761) % 4294967296 <
       CAST(floor(4294967296 / (1 + CAST(substr(source, 4) AS INT) % 4))
            AS BIGINT)
 GROUP BY source

@@ -40,8 +40,15 @@ SCHEMA = T.StructType([
 ])
 
 
-def parse_warc_bytes(data: bytes, fname: str = "") -> list[dict]:
-    """Parse one (decompressed) WARC file into record dicts."""
+def parse_warc_bytes(data: bytes, fname: str = "",
+                     strict: bool = True) -> list[dict]:
+    """Parse one (decompressed) WARC file into record dicts.
+
+    ``strict=False`` keeps the records parsed before the first
+    structural error instead of failing the whole segment — real crawl
+    archives occasionally carry one truncated/mis-lengthed record, and
+    a deterministic raise would abort the ingest task for the entire
+    ~1 GB file after every retry."""
     if data[:2] == b"\x1f\x8b":
         data = gzip.decompress(data)     # concatenated members OK
     out = []
@@ -54,9 +61,18 @@ def parse_warc_bytes(data: bytes, fname: str = "") -> list[dict]:
         if pos >= n:
             break
         if not data[pos:pos + 5] == b"WARC/":
+            if not strict:
+                break
             raise ValueError(
                 f"{fname}: expected WARC version line at byte {pos}")
-        hdr_end = data.index(b"\r\n\r\n", pos)
+        try:
+            hdr_end = data.index(b"\r\n\r\n", pos)
+        except ValueError:
+            if not strict:
+                break
+            raise ValueError(
+                f"{fname}: record at byte {pos} has no header "
+                "terminator") from None
         headers = {}
         hdr_text = data[pos:hdr_end].decode("utf-8", "replace")
         for line in hdr_text.split("\r\n")[1:]:
@@ -89,7 +105,8 @@ def parse_warc_bytes(data: bytes, fname: str = "") -> list[dict]:
     return out
 
 
-def read(spark: SparkSession, path: str) -> DataFrame:
+def read(spark: SparkSession, path: str,
+         strict: bool = True) -> DataFrame:
     files = (spark.read.format("binaryFile")
              .load(path.rstrip("/") + ("/*" if os.path.isdir(path) else "")))
 
@@ -98,7 +115,8 @@ def read(spark: SparkSession, path: str) -> DataFrame:
             rows = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 rows.extend(parse_warc_bytes(bytes(content),
-                                             os.path.basename(fpath)))
+                                             os.path.basename(fpath),
+                                             strict=strict))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in SCHEMA.fields])
 
@@ -119,6 +137,18 @@ def write(df: DataFrame, path: str, gzip_members: bool | None = None
         for i, r in enumerate(rows):
             get = (lambda k, d=None: r[k] if k in cols else d)
             payload = bytes(get("payload") or b"")
+            # read() splits the HTTP envelope off response payloads —
+            # reconstruct a minimal one on write so read→write→read
+            # keeps http_status (review finding: without this an
+            # engine-written archive lost every status and the ingest
+            # filter dropped all records)
+            ctype = get("content_type") or ""
+            status = get("http_status")
+            if (ctype.startswith("application/http")
+                    and status is not None
+                    and not payload.startswith(b"HTTP/")):
+                payload = (f"HTTP/1.1 {int(status)} \r\n\r\n".encode()
+                           + payload)
             rid = get("record_id")
             if not rid:
                 h = hashlib.md5(

@@ -109,3 +109,23 @@ def test_mixer_plan_has_no_shuffle(spark):
     plan = (weighted_sample(df, {"a": 0.5})
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_mixer_negative_keys_respect_weights(spark):
+    """xxhash64-style ids are negative for half of all rows — the
+    uniform must stay in [0, 2^32) so weights still bind (review
+    finding: a signed % kept every negative-id row at any weight)."""
+    df = spark.range(4000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("doc_id"),
+        F.lit("a").alias("source"))
+    assert df.filter(F.col("doc_id") < 0).count() > 1000  # mixed signs
+    assert weighted_sample(df, {"a": 0.0}).count() == 0
+    kept = weighted_sample(df, {"a": 0.5}).count()
+    assert abs(kept / 4000 - 0.5) < 0.05
+
+
+def test_mixer_rejects_non_integral_key(spark):
+    df = spark.range(5).select(F.col("id").cast("string").alias("doc_id"),
+                               F.lit("a").alias("source"))
+    with pytest.raises(ValueError, match="integral"):
+        weighted_sample(df, {"a": 0.5})

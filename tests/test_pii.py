@@ -90,3 +90,14 @@ def test_card_luhn_validation(spark):
     assert out[3]["clean_text"] == "visa <CARD> and bad 4111111111111112"
     assert out[3]["n_cards"] == 1
     assert out[4]["clean_text"] == "short 123456789012 stays"
+
+
+def test_card_embedded_run_not_overredacted(spark):
+    """A candidate's digit run embedded in a longer token is NOT a
+    match of the \\b-anchored pattern and must survive redaction."""
+    df = spark.createDataFrame(
+        [(0, "pay 4532015112830366 ref a4532015112830366b")],
+        ["doc_id", "text"])
+    r = redact_pii(df).collect()[0]
+    assert r["clean_text"] == "pay <CARD> ref a4532015112830366b"
+    assert r["n_cards"] == 1

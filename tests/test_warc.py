@@ -170,3 +170,33 @@ def test_parser_property_roundtrip_random_payloads():
             g.write(rec)
     out = warc.parse_warc_bytes(buf.getvalue(), "f")
     assert [r["payload"] for r in out] == payloads
+
+
+def test_response_roundtrip_preserves_status(spark, tmp_path):
+    """read→write→read: the HTTP envelope split off by read() is
+    reconstructed on write, so http_status and payload survive."""
+    p1 = str(tmp_path / "a.warc.gz")
+    warc.write(_sample_rows(spark), p1)
+    first = warc.read(spark, p1)
+    p2 = str(tmp_path / "b.warc.gz")
+    warc.write(first, p2)
+    second = {r["target_uri"]: r for r in warc.read(spark, p2).collect()}
+    for r in first.collect():
+        s = second[r["target_uri"]]
+        assert s["http_status"] == r["http_status"]
+        assert bytes(s["payload"]) == bytes(r["payload"])
+
+
+def test_lenient_mode_keeps_good_prefix(spark, tmp_path):
+    good = (b"WARC/1.0\r\nWARC-Type: resource\r\n"
+            b"WARC-Record-ID: <urn:uuid:1>\r\nContent-Length: 2\r\n"
+            b"\r\nok\r\n\r\n")
+    bad = b"GARBAGE WITHOUT TERMINATOR"
+    p = str(tmp_path / "mix.warc")
+    with open(p, "wb") as f:
+        f.write(good + bad)
+    # strict default: raised in the executor, surfaces as PythonException
+    with pytest.raises(Exception, match="WARC version|header terminator"):
+        warc.read(spark, p).collect()
+    rows = warc.read(spark, p, strict=False).collect()
+    assert len(rows) == 1 and bytes(rows[0]["payload"]) == b"ok"
