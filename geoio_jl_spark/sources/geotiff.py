@@ -37,48 +37,60 @@ _TYPE_FMT = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d",
              13: "I", 16: "Q", 17: "q"}
 
 
-def _read_ifd(buf: bytes):
-    """Classic TIFF (magic 42) and BigTIFF (magic 43 — 8-byte offsets,
-    20-byte IFD entries; any COG past 4 GB, so the layout a 100-TB
-    archive actually ships)."""
+def _read_ifd_chain(buf: bytes):
+    """→ (endianness, [tags per IFD]) for classic TIFF (magic 42) and
+    BigTIFF (magic 43 — 8-byte offsets, 20-byte entries; any COG past
+    4 GB, so the layout a 100-TB archive actually ships).  IFDs after
+    the first are a COG's overview levels."""
     little = buf[:2] == b"II"
     e = "<" if little else ">"
     magic = struct.unpack_from(e + "H", buf, 2)[0]
     if magic == 42:
         off = struct.unpack_from(e + "I", buf, 4)[0]
-        n = struct.unpack_from(e + "H", buf, off)[0]
-        entry0, esize, inline = off + 2, 12, 4
-        cnt_fmt = "HHI"
+        esize, inline, cnt_fmt = 12, 4, "HHI"
+        nfmt, nsize, ofmt = "H", 2, "I"
     elif magic == 43:
         osize, pad = struct.unpack_from(e + "HH", buf, 4)
         if osize != 8 or pad != 0:
             raise ValueError("malformed BigTIFF header")
         off = struct.unpack_from(e + "Q", buf, 8)[0]
-        n = struct.unpack_from(e + "Q", buf, off)[0]
-        entry0, esize, inline = off + 8, 20, 8
-        cnt_fmt = "HHQ"
+        esize, inline, cnt_fmt = 20, 8, "HHQ"
+        nfmt, nsize, ofmt = "Q", 8, "Q"
     else:
         raise ValueError("not a TIFF file")
-    tags = {}
-    for k in range(n):
-        p = entry0 + esize * k
-        tag, typ, cnt = struct.unpack_from(e + cnt_fmt, buf, p)
-        size = _TYPE_SIZE.get(typ, 1) * cnt
-        vpos = p + (8 if esize == 12 else 12)
-        if size <= inline:
-            dpos = vpos
-        else:
-            dpos = struct.unpack_from(e + ("I" if inline == 4 else "Q"),
-                                      buf, vpos)[0]
-        if typ in _TYPE_FMT:
-            vals = struct.unpack_from(e + str(cnt) + _TYPE_FMT[typ], buf, dpos)
-        elif typ == 5:  # rational
-            raw = struct.unpack_from(e + str(2 * cnt) + "I", buf, dpos)
-            vals = tuple(raw[i] / raw[i + 1] for i in range(0, 2 * cnt, 2))
-        else:
-            vals = (buf[dpos:dpos + size],)
-        tags[tag] = vals
-    return e, tags
+    ifds = []
+    while off:
+        n = struct.unpack_from(e + nfmt, buf, off)[0]
+        entry0 = off + nsize
+        tags = {}
+        for k in range(n):
+            p = entry0 + esize * k
+            tag, typ, cnt = struct.unpack_from(e + cnt_fmt, buf, p)
+            size = _TYPE_SIZE.get(typ, 1) * cnt
+            vpos = p + (8 if esize == 12 else 12)
+            if size <= inline:
+                dpos = vpos
+            else:
+                dpos = struct.unpack_from(
+                    e + ("I" if inline == 4 else "Q"), buf, vpos)[0]
+            if typ in _TYPE_FMT:
+                vals = struct.unpack_from(
+                    e + str(cnt) + _TYPE_FMT[typ], buf, dpos)
+            elif typ == 5:  # rational
+                raw = struct.unpack_from(e + str(2 * cnt) + "I", buf, dpos)
+                vals = tuple(raw[i] / raw[i + 1]
+                             for i in range(0, 2 * cnt, 2))
+            else:
+                vals = (buf[dpos:dpos + size],)
+            tags[tag] = vals
+        ifds.append(tags)
+        off = struct.unpack_from(e + ofmt, buf, entry0 + esize * n)[0]
+    return e, ifds
+
+
+def _read_ifd(buf: bytes):
+    e, ifds = _read_ifd_chain(buf)
+    return e, ifds[0]
 
 
 def _affine_from_tags(tags) -> tuple[tuple, tuple]:
@@ -228,7 +240,33 @@ def _unpredict(strip: bytes, pred: int, w: int, s: int, bs: int,
 def read_raw(path: str):
     with open(path, "rb") as f:
         buf = f.read()
-    e, tags = _read_ifd(buf)
+    e, ifds = _read_ifd_chain(buf)
+    return _decode_ifd(buf, e, ifds[0])
+
+
+def read_overviews(path: str):
+    """Every resolution level of a COG (full-res IFD + overview IFDs) →
+    [(array, affine A, offset b, epsg)].  Overview IFDs usually carry no
+    geo tags, so their affine is the full-resolution affine scaled by
+    the size ratio (the COG convention)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    e, ifds = _read_ifd_chain(buf)
+    out = [_decode_ifd(buf, e, t) for t in ifds]
+    arr0, A0, b0, epsg0 = out[0]
+    fixed = [out[0]]
+    for arr, A, b, epsg in out[1:]:
+        if A == ((1.0, 0.0), (0.0, 1.0)) and b == (0.0, 0.0):
+            sx = arr0.shape[1] / arr.shape[1]
+            sy = arr0.shape[0] / arr.shape[0]
+            A = ((A0[0][0] * sx, A0[0][1] * sy),
+                 (A0[1][0] * sx, A0[1][1] * sy))
+            b, epsg = b0, (epsg or epsg0)
+        fixed.append((arr, A, b, epsg))
+    return fixed
+
+
+def _decode_ifd(buf: bytes, e: str, tags: dict):
     w = tags[T_WIDTH][0]
     h = tags[T_HEIGHT][0]
     spp = tags.get(T_SPP, (1,))[0]

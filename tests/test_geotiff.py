@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from geoio_jl_spark.operators.raster import GridSpec, grid_cells
 from geoio_jl_spark.sources import geotiff as GT
+from geoio_jl_spark.sources.geotiff import read_overviews as geotiff_read_overviews
 
 
 def _grid(spark, spec):
@@ -308,3 +309,72 @@ def test_bigtiff_read(tmp_path):
         f.write(bytes(out))
     arr, A, b, epsg = GT.read_raw(p)
     np.testing.assert_array_equal(arr[:, :, 0], data)
+
+
+def test_cog_overview_levels(tmp_path):
+    """Multi-IFD COG: read_overviews returns every level, scaling the
+    full-resolution affine onto overview IFDs that carry no geo tags."""
+    import struct as _s
+
+    def ifd(entries, base):
+        """Build one little-endian classic IFD + its out-of-line data."""
+        out = bytearray()
+        blob = bytearray()
+        out += _s.pack("<H", len(entries))
+        data_off = base + 2 + 12 * len(entries) + 4
+        patched = []
+        for tag, typ, cnt, val in entries:
+            if isinstance(val, bytes):
+                patched.append((tag, typ, cnt, data_off + len(blob)))
+                blob += val
+            else:
+                patched.append((tag, typ, cnt, val))
+        for tag, typ, cnt, val in sorted(patched):
+            fmt = {3: "H", 4: "I", 12: "d"}[typ]
+            if typ == 12 or cnt > 1:
+                out += _s.pack("<HHII", tag, typ, cnt, val)
+            else:
+                out += _s.pack("<HHI", tag, typ, cnt) \
+                    + _s.pack("<" + fmt, val).ljust(4, b"\x00")
+        return out, blob, data_off
+
+    full = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    ovr = full[::2, ::2].copy()
+
+    # layout: header(8) | ifd0+data | ifd1+data
+    pos = 8
+    scale = _s.pack("<3d", 2.0, 3.0, 0.0)
+    tie = _s.pack("<6d", 0, 0, 0, 100.0, 200.0, 0.0)
+    e0 = [(256, 4, 1, 8), (257, 4, 1, 8), (258, 3, 1, 8), (259, 3, 1, 1),
+          (262, 3, 1, 1), (273, 4, 1, None), (277, 3, 1, 1),
+          (279, 4, 1, 64), (33550, 12, 3, scale), (33922, 12, 6, tie)]
+    # two passes to resolve strip offset after data layout
+    body0, blob0, doff0 = ifd([(t, ty, c, v if v is not None else 0)
+                               for t, ty, c, v in e0], pos)
+    strip0 = doff0 + len(blob0)
+    body0, blob0, _ = ifd([(t, ty, c, (strip0 if t == 273 else
+                                       (v if v is not None else 0)))
+                           for t, ty, c, v in e0], pos)
+    ifd1_off = strip0 + 64
+    e1 = [(256, 4, 1, 4), (257, 4, 1, 4), (258, 3, 1, 8), (259, 3, 1, 1),
+          (262, 3, 1, 1), (273, 4, 1, 0), (277, 3, 1, 1), (279, 4, 1, 16)]
+    body1, blob1, doff1 = ifd(e1, ifd1_off)
+    strip1 = doff1 + len(blob1)
+    e1 = [(t, ty, c, (strip1 if t == 273 else v)) for t, ty, c, v in e1]
+    body1, blob1, _ = ifd(e1, ifd1_off)
+
+    out = bytearray(b"II*\x00" + _s.pack("<I", 8))
+    out += body0 + _s.pack("<I", ifd1_off) + blob0 + full.tobytes()
+    assert len(out) == ifd1_off
+    out += body1 + _s.pack("<I", 0) + blob1 + ovr.tobytes()
+
+    p = str(tmp_path / "cog.tif")
+    with open(p, "wb") as f:
+        f.write(bytes(out))
+    levels = geotiff_read_overviews(p)
+    assert len(levels) == 2
+    (a0, A0, b0, _), (a1, A1, b1, _) = levels
+    np.testing.assert_array_equal(a0[:, :, 0], full)
+    np.testing.assert_array_equal(a1[:, :, 0], ovr)
+    assert A0 == ((2.0, 0.0), (0.0, -3.0)) and b0 == (100.0, 200.0)
+    assert A1 == ((4.0, 0.0), (0.0, -6.0)) and b1 == (100.0, 200.0)
