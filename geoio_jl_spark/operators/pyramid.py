@@ -20,13 +20,19 @@ from pyspark.sql import functions as F
 
 def tile_pyramid(points: DataFrame, x_col: str, y_col: str,
                  max_zoom: int, min_zoom: int = 0,
-                 base_tile: int = 64) -> DataFrame:
+                 base_tile: int = 64,
+                 weight_col: str | None = None) -> DataFrame:
     """→ (zoom, tx, ty, n) for every zoom in [min_zoom, max_zoom];
     tile size at zoom z is ``base_tile * 2**(max_zoom - z)`` coordinate
-    units.  Coordinates must be non-negative."""
+    units.  Coordinates must be non-negative.  ``weight_col`` sums a
+    weight per row instead of counting rows — pre-aggregated inputs
+    (e.g. the streaming tile store's folded partials) roll up through
+    the same machinery."""
     if not (0 <= min_zoom <= max_zoom):
         raise ValueError(f"bad zoom range [{min_zoom}, {max_zoom}]")
     ts = F.lit(base_tile)
+    base_agg = (F.count("*") if weight_col is None
+                else F.sum(weight_col)).alias("n")
     # Each level is materialized once (localCheckpoint): a lazy union
     # would duplicate the whole upstream chain per branch — Catalyst
     # does not share common subplans across union branches, so the
@@ -35,9 +41,10 @@ def tile_pyramid(points: DataFrame, x_col: str, y_col: str,
     # almost nothing and the corpus is scanned exactly once.
     cur = (points
            .select(F.floor(F.col(x_col) / ts).alias("tx"),
-                   F.floor(F.col(y_col) / ts).alias("ty"))
+                   F.floor(F.col(y_col) / ts).alias("ty"),
+                   *([weight_col] if weight_col else []))
            .groupBy("tx", "ty")
-           .agg(F.count("*").alias("n"))
+           .agg(base_agg)
            .localCheckpoint())
     out = cur.select(F.lit(max_zoom).alias("zoom"), "tx", "ty", "n")
     for z in range(max_zoom - 1, min_zoom - 1, -1):

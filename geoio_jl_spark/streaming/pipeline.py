@@ -25,15 +25,21 @@ def stream_assign_cells(stream: DataFrame, lon_i: str = "lon_i",
 
 def windowed_event_counts(stream: DataFrame, ts: str = "ts",
                           key: str = "event_type", window: str = "5 minutes",
-                          watermark: str = "10 minutes") -> DataFrame:
+                          watermark: str = "10 minutes",
+                          value_col: str | None = "value") -> DataFrame:
+    """``value_col=None`` counts only (for streams without a numeric
+    value column)."""
+    aggs = [F.count("*").alias("n_events")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.floor(F.col(value_col) * 1000000).cast("bigint"))
+            .alias("value_sum_e6"))
     return (
         stream.withWatermark(ts, watermark)
         .groupBy(F.window(F.col(ts), window).alias("w"), F.col(key))
-        .agg(F.count("*").alias("n_events"),
-             F.sum(F.floor(F.col("value") * 1000000).cast("bigint"))
-             .alias("value_sum_e6"))
-        .select(F.col("w.start").alias("window_start"), key,
-                "n_events", "value_sum_e6")
+        .agg(*aggs)
+        .select(F.col("w.start").alias("window_start"), key, "n_events",
+                *([] if value_col is None else ["value_sum_e6"]))
     )
 
 
@@ -68,7 +74,7 @@ def stream_url_dedup(stream: DataFrame, ts: str = "ts",
 
 def sessionize(stream: DataFrame, gap_seconds: int = 1800,
                user_col: str = "user_id", ts_col: str = "ts",
-               use_timeout: bool = False) -> DataFrame:
+               use_timeout: bool = True) -> DataFrame:
     """Custom stateful operator: session windows per user via
     ``applyInPandasWithState`` (the engine's example of state the built-in
     windows can't express — session gap logic with carried state).
@@ -230,7 +236,12 @@ def stitch_partial_sessions(partials: DataFrame, gap_seconds: int = 1800,
 
     w = Window.partitionBy(user_col).orderBy("session_start_us")
     gap_us = gap_seconds * 1_000_000
-    prev_end = F.lag("session_end_us").over(w)
+    # RUNNING MAX of the preceding ends, not lag: a late-reopened shard
+    # can emit a partial nested inside an earlier, longer one, and
+    # comparing against only the immediately-preceding end would split
+    # a session that the true furthest end still covers (review finding)
+    prev_end = F.max("session_end_us").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
     new_grp = F.when(prev_end.isNull()
                      | (F.col("session_start_us") - prev_end > gap_us),
                      1).otherwise(0)
@@ -284,15 +295,23 @@ def stream_minhash_dedup(stream: DataFrame, output_path: str,
       3. batch-local dedup: min id per bucket claims it,
       4. append survivors' buckets to the store, docs to the output.
 
-    The store is a parquet table of (band, sig) — the join shuffles on
-    the bucket key; a production deployment keeps it bucketed/Z-ordered
+    The store is a parquet table of (band, sig) under per-epoch
+    subdirectories — foreachBatch is at-least-once, so BOTH writes go to
+    ``<path>/epoch=N`` with overwrite: a replayed micro-batch rewrites
+    its own epoch instead of appending a second copy (an append-then-
+    retry would find the batch's own buckets already in the store and
+    silently drop every document of the batch — review finding).  The
+    epoch the retry reads is excluded from the anti-join for the same
+    reason.  A production deployment keeps the store bucketed/Z-ordered
     so the per-batch anti-join prunes to matching files.  State grows
     with the kept corpus by design (it IS the dedup index), unlike the
     watermark-bounded exact/url variants above.
 
-    Returns the ``DataStreamWriter`` (caller starts it)."""
-    import os
+    Documents too short to shingle (under 3 tokens) have no signature
+    and pass through unexamined — same as the batch path, where a doc
+    in no bucket is its own keeper.
 
+    Returns the ``DataStreamWriter`` (caller starts it)."""
     from geoio_jl_spark.operators.dedup import minhash_signatures
     from geoio_jl_spark import dialect as D
 
@@ -302,18 +321,23 @@ def stream_minhash_dedup(stream: DataFrame, output_path: str,
         for b in range(D.MINHASH_BANDS)
     ])
 
-    def process(batch: DataFrame, _epoch: int) -> None:
+    def process(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
         sig = minhash_signatures(batch, text_col, id_col, fast_hash=True)
         buckets = sig.select(
             id_col, F.posexplode(band_arr).alias("band", "sig"))
-        if os.path.exists(store_path):
-            store = spark.read.parquet(store_path)
+        dup_ids = None
+        try:
+            # driver-local os.path.exists would silently disable the
+            # store probe on hdfs/s3 paths — attempt the read instead
+            store = (spark.read.parquet(store_path)
+                     .filter(F.col("epoch") != epoch))
             dup_ids = (buckets.join(store, ["band", "sig"], "left_semi")
                        .select(id_col).distinct())
             fresh = buckets.join(dup_ids, id_col, "left_anti")
-        else:
+        except Exception:  # noqa: BLE001 — first batch: no store yet
             fresh = buckets
+        fresh = fresh.localCheckpoint()      # shared by 3 subtrees below
         # batch-local: the minimum id in each bucket claims it
         winners = (fresh.groupBy("band", "sig")
                    .agg(F.min(id_col).alias(id_col)))
@@ -324,12 +348,21 @@ def stream_minhash_dedup(stream: DataFrame, output_path: str,
                 .groupBy(id_col)
                 .agg(F.count("*").alias("_nb"), F.sum("_win").alias("_nw"))
                 .filter(F.col("_nb") == F.col("_nw"))
-                .select(id_col))
-        out_docs = batch.join(kept, id_col, "left_semi")
+                .select(id_col)
+                .localCheckpoint())
+        # losers: docs with buckets that did not claim all of them;
+        # docs with NO buckets (short texts) are in neither set → kept
+        losers = (fresh.select(id_col).distinct()
+                  .join(kept, id_col, "left_anti"))
+        out_docs = batch.join(losers, id_col, "left_anti")
+        if dup_ids is not None:
+            out_docs = out_docs.join(dup_ids, id_col, "left_anti")
         new_buckets = (fresh.join(kept, id_col, "left_semi")
                        .select("band", "sig").distinct())
-        new_buckets.write.mode("append").parquet(store_path)
-        out_docs.write.mode("append").parquet(output_path)
+        new_buckets.write.mode("overwrite").parquet(
+            f"{store_path}/epoch={epoch}")
+        out_docs.write.mode("overwrite").parquet(
+            f"{output_path}/epoch={epoch}")
 
     return stream.writeStream.foreachBatch(process)
 
@@ -341,7 +374,10 @@ def stream_tile_counts(stream: DataFrame, store_path: str,
     streaming half of ``operators/pyramid.tile_pyramid``.
 
     Each micro-batch partial-aggregates its points at the finest zoom
-    and APPENDS the per-epoch tile counts to a parquet store (no
+    and writes the per-epoch tile counts to its OWN ``epoch=N``
+    subdirectory with overwrite — foreachBatch is at-least-once, and an
+    append would double-count a replayed batch in the rollup (review
+    finding); the overwrite makes the retry rewrite its epoch (no
     read-modify-write races; epochs are immutable).  The live tile
     table is ``rollup_tiles(spark, store_path, ...)`` — a fold over the
     epoch partials that costs O(|distinct tiles| × epochs touched), so
@@ -358,8 +394,7 @@ def stream_tile_counts(stream: DataFrame, store_path: str,
                  F.floor(F.col(y_col) / ts).alias("ty"))
          .groupBy("tx", "ty")
          .agg(F.count("*").alias("n"))
-         .withColumn("epoch", F.lit(epoch))
-         .write.mode("append").parquet(store_path))
+         .write.mode("overwrite").parquet(f"{store_path}/epoch={epoch}"))
 
     return stream.writeStream.foreachBatch(process)
 
@@ -368,18 +403,12 @@ def rollup_tiles(spark, store_path: str, max_zoom: int,
                  min_zoom: int = 0):
     """Fold the epoch partials into current tiles, then roll up the
     zoom hierarchy with the batch pyramid machinery."""
+    from geoio_jl_spark.operators.pyramid import tile_pyramid
+
     base = (spark.read.parquet(store_path)
             .groupBy("tx", "ty").agg(F.sum("n").alias("n")))
-    # tile_pyramid counts rows, but the folded base carries weights —
-    # run the weighted rollup directly (the operator's same 4:1 fold
-    # with checkpointed levels)
-    cur = base.localCheckpoint()
-    res = cur.select(F.lit(max_zoom).alias("zoom"), "tx", "ty", "n")
-    for z in range(max_zoom - 1, min_zoom - 1, -1):
-        cur = (cur.select(F.floor(F.col("tx") / 2).alias("tx"),
-                          F.floor(F.col("ty") / 2).alias("ty"), "n")
-               .groupBy("tx", "ty").agg(F.sum("n").alias("n"))
-               .localCheckpoint())
-        res = res.unionByName(
-            cur.select(F.lit(z).alias("zoom"), "tx", "ty", "n"))
-    return res
+    # the folded base is already at tile granularity: identity binning
+    # (base_tile=1) + weighted rollup through the batch operator — one
+    # fold implementation, not a drifting copy (review finding)
+    return tile_pyramid(base, "tx", "ty", max_zoom=max_zoom,
+                        min_zoom=min_zoom, base_tile=1, weight_col="n")

@@ -43,6 +43,18 @@ def main() -> None:
     ap.add_argument("--ngram", type=int, default=8)
     args = ap.parse_args()
 
+    # Stage resume matches on (job id, stage name) only, so changing
+    # --bench/--ngram/--mix-weights under the same id would silently
+    # reuse stale stage output (review finding): fold a fingerprint of
+    # the semantics-bearing arguments into the effective job id, so a
+    # parameter change starts a fresh lineage while an identical
+    # re-submit still resumes.
+    import hashlib
+    fp = hashlib.md5(
+        f"{args.bench}|{args.ngram}|{args.mix_weights}".encode()
+    ).hexdigest()[:8]
+    args.job_id = f"{args.job_id}-{fp}"
+
     spark = SparkSession.builder.appName("geoio-webtext").getOrCreate()
     from geoio_jl_spark.functions.textkernels import (html_to_text,
                                                       quality_columns,

@@ -286,3 +286,61 @@ def test_stream_tile_counts_rollup(spark, tmp_path):
     # epochs are immutable partials: two epochs present in the store
     assert (spark.read.parquet(store).select("epoch").distinct()
             .count() == 2)
+
+
+def test_stream_minhash_dedup_retry_idempotent_and_short_docs(spark, tmp_path):
+    """(a) Replaying the same input through a FRESH checkpoint (the
+    at-least-once retry shape: same epoch ids, store already populated)
+    must leave the kept set unchanged — the epoch-keyed overwrite plus
+    own-epoch exclusion make the retry rewrite, not drop, its batch.
+    (b) Docs too short to shingle pass through."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geoio_jl_spark.streaming.pipeline import stream_minhash_dedup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "kept")
+    store = str(tmp_path / "sigstore")
+    t1 = "spark shuffle scan sort join batch stream row data agg merge"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [t1, t1 + " extra", "tiny doc"]}),
+        str(src / "f1.parquet"))
+
+    def run(ckpt):
+        stream = spark.readStream.schema("doc_id long, text string") \
+            .parquet(str(src))
+        q = (stream_minhash_dedup(stream, out, store)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / ckpt))
+             .start())
+        q.awaitTermination(120)
+
+    run("c1")
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert 3 in first                      # short doc passes through
+    assert 1 in first and 2 not in first   # near-dup loses to min id
+    run("c2")                              # full replay = retry shape
+    second = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert second == first
+
+
+def test_stitch_merges_nested_partials(spark):
+    """A late-reopened shard can emit a partial NESTED inside an
+    earlier, longer one — the running-max comparison must keep the
+    session whole where a lag() comparison would split it."""
+    from geoio_jl_spark.streaming.pipeline import stitch_partial_sessions
+
+    rows = [(1, 0, 10_000_000_000, 5),          # [0s, 10000s]
+            (1, 5_000_000_000, 5_000_000_000, 1),   # nested [5000s]
+            (1, 11_500_000_000, 11_600_000_000, 2)]  # 1500s after 10000s
+    df = spark.createDataFrame(
+        rows, "user_id long, session_start_us long, "
+              "session_end_us long, n_events long")
+    got = stitch_partial_sessions(df, gap_seconds=1800).collect()
+    assert len(got) == 1
+    assert got[0]["session_start_us"] == 0
+    assert got[0]["session_end_us"] == 11_600_000_000
+    assert got[0]["n_events"] == 8
