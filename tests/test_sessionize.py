@@ -39,7 +39,9 @@ def test_sessionize_matches_reference(spark, sf_dir, tmp_path):
     os.symlink(src, d / "events.parquet")
     schema = spark.read.parquet(str(d)).schema
     stream = spark.readStream.schema(schema).parquet(str(d))
-    out = sessionize(stream, gap_seconds=GAP_S)
+    # single-batch replay: no later batch fires the timeout, so the
+    # default use_timeout=True would stall availableNow for minutes
+    out = sessionize(stream, gap_seconds=GAP_S, use_timeout=False)
     q = (
         out.writeStream.format("memory").queryName("sessions")
         .outputMode("append").trigger(availableNow=True)
@@ -81,7 +83,7 @@ def test_batch_session_rollup_matches_streaming(spark, sf_dir, tmp_path):
     ev.coalesce(1).write.parquet(src)
     stream = (spark.readStream.schema(ev.schema).parquet(src)
               .withColumn("ts", F.col("ts").cast("timestamp")))
-    out = sessionize(stream)
+    out = sessionize(stream, use_timeout=False)
     q = (out.writeStream.format("memory").queryName("sess_batch_parity")
          .outputMode("append").trigger(availableNow=True)
          .option("checkpointLocation", str(tmp_path / "ck")).start())
@@ -244,7 +246,7 @@ def test_sharded_streaming_sessionize_differential(spark, tmp_path):
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
     out = sessionize_sharded(stream, gap_seconds=GAP_S,
-                             shard_seconds=shard_s)
+                             shard_seconds=shard_s, use_timeout=False)
     q = (out.writeStream.format("memory").queryName("sharded_sessions")
          .outputMode("append").trigger(availableNow=True)
          .option("checkpointLocation", str(tmp_path / "ck_sh")).start())
