@@ -32,11 +32,20 @@ def sample_uniform(key: Column) -> Column:
                   F.lit(_M32))
 
 
-def weighted_sample(df: DataFrame, weights: dict[str, float],
+def weighted_sample(df: DataFrame, weights: dict[str, float] | DataFrame,
                     strat_col: str = "source",
                     key_col: str = "doc_id",
                     default: float = 1.0) -> DataFrame:
     """Keep each row with its stratum's probability, deterministically.
+
+    ``weights`` is either a small Python dict (compiled into a CASE
+    expression — zero joins, for a handful of literal sources) or a
+    ``(strat_col, weight)`` DataFrame, broadcast-joined to the corpus —
+    the 100-TB shape, where the weights table is itself the product of a
+    distributed computation and must never round-trip through the
+    driver.  Strata absent from the table fall back to ``default``.
+    Both paths floor ``weight * 2^32`` to the same int64 threshold, so
+    dict and DataFrame weights keep bit-identical row sets.
 
     ``key_col`` must be an integral column (the uniform is arithmetic on
     the id); a string key would cast to NULL and silently drop every
@@ -45,6 +54,20 @@ def weighted_sample(df: DataFrame, weights: dict[str, float],
     if kind not in ("tinyint", "smallint", "int", "bigint"):
         raise ValueError(
             f"key_col {key_col!r} must be an integral column, got {kind}")
+    if isinstance(weights, DataFrame):
+        if strat_col not in weights.columns or \
+                "weight" not in weights.columns:
+            raise ValueError(
+                f"weights DataFrame needs columns ({strat_col!r}, "
+                f"'weight'), got {weights.columns}")
+        wdf = weights.select(strat_col,
+                             F.col("weight").cast("double").alias("__w"))
+        thresh = F.floor(F.coalesce(F.col("__w"), F.lit(float(default)))
+                         * _M32).cast("bigint")
+        return (df.join(F.broadcast(wdf), strat_col, "left")
+                .filter(sample_uniform(F.col(key_col)) < thresh)
+                .drop("__w")
+                .select(*df.columns))
     thresh = F.lit(int(default * _M32))
     for src, w in weights.items():
         thresh = F.when(F.col(strat_col) == src,

@@ -59,7 +59,16 @@ def _read_ifd_chain(buf: bytes):
     else:
         raise ValueError("not a TIFF file")
     ifds = []
+    seen_offsets: set[int] = set()
     while off:
+        # cycle / runaway guard: a malformed or adversarial next-IFD
+        # chain that loops back on itself (or never terminates) must
+        # fail fast instead of spinning forever accumulating IFDs
+        if off in seen_offsets:
+            raise ValueError(f"TIFF IFD chain cycles back to offset {off}")
+        if len(seen_offsets) >= 64:
+            raise ValueError("TIFF IFD chain exceeds 64 IFDs")
+        seen_offsets.add(off)
         n = struct.unpack_from(e + nfmt, buf, off)[0]
         entry0 = off + nsize
         tags = {}

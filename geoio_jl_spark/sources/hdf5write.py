@@ -21,6 +21,7 @@ inverse of ``hdf5nc.read_raw``'s ``{dims, gatts, vars}`` dict.
 from __future__ import annotations
 
 import struct
+import warnings
 import zlib
 
 import numpy as np
@@ -190,6 +191,12 @@ def write_raw(path: str, dims: list[tuple[str, int]],
                if chunked[name] else arrays[name].tobytes())
         for name in order}
 
+    # Attributes whose values _attr_of cannot encode (e.g. numpy unicode
+    # arrays, lists of strings) must not vanish silently from a round
+    # trip — collect their names across both build passes and surface
+    # them once at the end (ADVICE r5: silent drop loses metadata).
+    skipped_attrs: set[str] = set()
+
     # pass structure: [superblock][var OHDRs...][GCOL][data blocks...]
     def build(addr: dict[str, int], gcol_addr: int,
               gcol_index: dict[str, int], data_addr: dict[str, int],
@@ -242,6 +249,7 @@ def write_raw(path: str, dims: list[tuple[str, int]],
                 try:
                     msgs += _attr_of(k, v)
                 except (ValueError, TypeError):
+                    skipped_attrs.add(f"{name}:{k}")
                     continue
             objs[name] = _ohdr(msgs)
 
@@ -257,6 +265,7 @@ def write_raw(path: str, dims: list[tuple[str, int]],
             try:
                 root_msgs += _attr_of(k, v)
             except (ValueError, TypeError):
+                skipped_attrs.add(f"<global>:{k}")
                 continue
         root = _ohdr(root_msgs)
 
@@ -338,3 +347,8 @@ def write_raw(path: str, dims: list[tuple[str, int]],
         out[data_addr[name]:data_addr[name] + len(db)] = db
     with open(path, "wb") as f:
         f.write(bytes(out))
+    if skipped_attrs:
+        warnings.warn(
+            "hdf5write: dropped attributes with unencodable values: "
+            + ", ".join(sorted(skipped_attrs)),
+            stacklevel=2)

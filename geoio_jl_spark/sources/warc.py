@@ -78,7 +78,17 @@ def parse_warc_bytes(data: bytes, fname: str = "",
         for line in hdr_text.split("\r\n")[1:]:
             k, _, v = line.partition(":")
             headers[k.strip().lower()] = v.strip()
-        clen = int(headers.get("content-length", "0"))
+        try:
+            clen = int(headers.get("content-length", "0"))
+        except ValueError:
+            # tolerant mode keeps everything parsed before the first
+            # structural error (ADVICE r5: int() was outside the guard)
+            if not strict:
+                break
+            raise ValueError(
+                f"{fname}: record at byte {pos} has non-numeric "
+                f"Content-Length {headers.get('content-length')!r}"
+            ) from None
         block = data[hdr_end + 4:hdr_end + 4 + clen]
         pos = hdr_end + 4 + clen
         ctype = headers.get("content-type", "")

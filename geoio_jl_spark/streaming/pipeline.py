@@ -327,15 +327,22 @@ def stream_minhash_dedup(stream: DataFrame, output_path: str,
         buckets = sig.select(
             id_col, F.posexplode(band_arr).alias("band", "sig"))
         dup_ids = None
-        try:
-            # driver-local os.path.exists would silently disable the
-            # store probe on hdfs/s3 paths — attempt the read instead
+        # Probe the store through the Hadoop FileSystem API (works for
+        # hdfs/s3 paths where driver-local os.path.exists would lie).
+        # Only a genuinely-missing store means "first batch, no history";
+        # any OTHER read failure (corrupt store, transient FS error,
+        # permissions) must propagate and fail the batch so Structured
+        # Streaming retries it — swallowing it would silently disable
+        # cross-batch dedup and admit duplicates (ADVICE r5).
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(store_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
             store = (spark.read.parquet(store_path)
                      .filter(F.col("epoch") != epoch))
             dup_ids = (buckets.join(store, ["band", "sig"], "left_semi")
                        .select(id_col).distinct())
             fresh = buckets.join(dup_ids, id_col, "left_anti")
-        except Exception:  # noqa: BLE001 — first batch: no store yet
+        else:                                # first batch: no store yet
             fresh = buckets
         fresh = fresh.localCheckpoint()      # shared by 3 subtrees below
         # batch-local: the minimum id in each bucket claims it

@@ -129,3 +129,37 @@ def test_mixer_rejects_non_integral_key(spark):
                                F.lit("a").alias("source"))
     with pytest.raises(ValueError, match="integral"):
         weighted_sample(df, {"a": 0.5})
+
+
+def test_mixer_dataframe_weights_match_dict(spark):
+    """(source, weight) DataFrame weights keep the bit-identical row set
+    the dict path keeps (both floor weight*2^32 to the same threshold),
+    via a broadcast join — the 100-TB shape (VERDICT r5 item 6)."""
+    df = spark.range(6000).select(F.col("id").alias("doc_id"),
+                                  (F.col("id") % 3).cast("string")
+                                  .alias("source"))
+    w = {"0": 0.3, "1": 1.0 / 3, "2": 1.0}
+    wdf = spark.createDataFrame(list(w.items()), "source string, weight double")
+    a = sorted(r["doc_id"] for r in weighted_sample(df, w).collect())
+    b = sorted(r["doc_id"] for r in weighted_sample(df, wdf).collect())
+    assert a == b and len(a) > 0
+    out = weighted_sample(df, wdf)
+    assert out.columns == df.columns            # no weight column leaks
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan          # never a shuffle join
+
+
+def test_mixer_dataframe_weights_default_for_missing(spark):
+    df = spark.range(100).select(F.col("id").alias("doc_id"),
+                                 F.lit("other").alias("source"))
+    wdf = spark.createDataFrame([("a", 0.0)], "source string, weight double")
+    assert weighted_sample(df, wdf).count() == 100         # default 1.0
+    assert weighted_sample(df, wdf, default=0.0).count() == 0
+
+
+def test_mixer_dataframe_weights_bad_columns_raise(spark):
+    df = spark.range(5).select(F.col("id").alias("doc_id"),
+                               F.lit("a").alias("source"))
+    wdf = spark.createDataFrame([("a", 0.5)], "src string, w double")
+    with pytest.raises(ValueError, match="weight"):
+        weighted_sample(df, wdf)

@@ -188,3 +188,19 @@ def test_gcol_meets_spec_minimum(tmp_path):
     size = struct.unpack_from("<Q", buf, g + 8)[0]
     assert size >= 4096
     assert g + size <= len(buf)
+
+
+def test_unencodable_attrs_warn_with_names(tmp_path):
+    """A dropped (unencodable) attribute must be surfaced, not silently
+    lost from the round trip (ADVICE r5): one warning naming every
+    skipped var:attr / <global>:attr pair, file still written+readable."""
+    p = str(tmp_path / "w.nc")
+    with pytest.warns(UserWarning, match=r"<global>:gl.*x:bad") as rec:
+        write_raw(p, [("x", 2)],
+                  {"x": (["x"], {"bad": ["a", "b"], "ok": np.int32(7)},
+                         np.arange(2.0))},
+                  {"gl": np.array(["u", "v"])})
+    assert len(rec) == 1          # deduped across the two build passes
+    d = hdf5nc.read_raw(p)
+    assert int(np.asarray(d["vars"]["x"][1]["ok"])) == 7
+    assert "bad" not in d["vars"]["x"][1]
