@@ -9,9 +9,17 @@ segments, so file-level parallelism saturates any cluster) →
 ``mapInPandas`` record parser (Arrow batches, pure Python record walk
 per file).  ``.warc.gz`` uses the standard record-at-a-time gzip-member
 convention; ``gzip.decompress`` consumes concatenated members in one
-call.  A production deployment wanting sub-file splits would index
-member offsets first (cdx-style) — noted here, not needed while the
-per-file unit already yields ~10^4-way parallelism per crawl.
+call.
+
+For SUB-file splits (one huge archive, or fewer files than cores),
+:func:`index_members` is the cdx-style one-pass index job — (file,
+member_idx, offset, length) per gzip member, found by walking member
+boundaries with a bounded-memory ``zlib.decompressobj`` (a magic-byte
+scan would false-positive inside compressed data) — and
+:func:`read_indexed` coalesces contiguous members into ~``split_bytes``
+spans and gives each task one seek+read of its span, so a single
+multi-member ``.warc.gz`` parses across many tasks with byte-identical
+results to the whole-file path (asserted in tests).
 
 For ``response`` records carrying ``application/http`` the HTTP headers
 are split off: ``payload`` is the body, ``http_status`` the status code.
@@ -23,6 +31,7 @@ import gzip
 import hashlib
 import io
 import os
+import zlib
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -113,6 +122,106 @@ def parse_warc_bytes(data: bytes, fname: str = "",
             "file": fname,
         })
     return out
+
+
+def member_spans(data: bytes) -> list[tuple[int, int]]:
+    """(offset, length) of every gzip member in a ``.warc.gz`` buffer.
+
+    Walks real member boundaries with ``zlib.decompressobj`` in 1 MiB
+    output slices that are immediately discarded — only offsets matter,
+    so peak memory stays bounded no matter how large a member inflates.
+    Raises on a truncated trailing member (an index must never silently
+    describe fewer bytes than the archive holds)."""
+    spans: list[tuple[int, int]] = []
+    pos, n = 0, len(data)
+    view = memoryview(data)
+    while pos < n:
+        if data[pos:pos + 2] != b"\x1f\x8b":
+            raise ValueError(f"not a gzip member at byte {pos}")
+        d = zlib.decompressobj(31)
+        d.decompress(view[pos:], 1 << 20)
+        while not d.eof and d.unconsumed_tail:
+            d.decompress(d.unconsumed_tail, 1 << 20)
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at byte {pos}")
+        end = n - len(d.unused_data)
+        spans.append((pos, end - pos))
+        pos = end
+    return spans
+
+
+INDEX_SCHEMA = T.StructType([
+    T.StructField("file", T.StringType()),
+    T.StructField("member_idx", T.LongType()),
+    T.StructField("offset", T.LongType()),
+    T.StructField("length", T.LongType()),
+])
+
+
+def index_members(spark: SparkSession, path: str) -> DataFrame:
+    """cdx-style member-offset index job: one row per gzip member.
+
+    One linear pass per archive (file-level parallel via binaryFile);
+    persist the result once per crawl and every later job reads with
+    sub-file splits via :func:`read_indexed`."""
+    files = (spark.read.format("binaryFile")
+             .load(path.rstrip("/") + ("/*" if os.path.isdir(path) else "")))
+
+    def _index(batches):
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for i, (off, ln) in enumerate(member_spans(bytes(content))):
+                    rows.append({"file": fpath, "member_idx": i,
+                                 "offset": off, "length": ln})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in INDEX_SCHEMA.fields])
+
+    return files.select("path", "content").mapInPandas(_index, INDEX_SCHEMA)
+
+
+def read_indexed(spark: SparkSession, path: str,
+                 index: DataFrame | None = None,
+                 split_bytes: int = 128 << 20,
+                 strict: bool = True) -> DataFrame:
+    """Read ``.warc.gz`` with sub-file splits by gzip member.
+
+    Contiguous members whose start offsets share a ``split_bytes``-wide
+    window coalesce into one span (members are back-to-back, so
+    min(offset) + sum(length) is one contiguous byte range = one seek +
+    one read per task).  Output is row-identical to :func:`read` — the
+    span boundaries fall exactly on member boundaries, and
+    ``parse_warc_bytes`` consumes a span's concatenated members in one
+    call."""
+    from pyspark.sql import functions as F
+    if index is None:
+        index = index_members(spark, path)
+    spans = (index
+             .withColumn("span", F.floor(F.col("offset") / split_bytes))
+             .groupBy("file", "span")
+             .agg(F.min("offset").alias("offset"),
+                  F.sum("length").alias("length")))
+    # one task per span: the span table is tiny (members ÷ coalescing),
+    # so the count is a cheap metadata-scale action, not a corpus scan
+    n_spans = spans.count()
+    spans = spans.repartition(max(1, n_spans), "file", "span")
+
+    def _read_spans(batches):
+        for pdf in batches:
+            rows = []
+            for fpath, off, ln in zip(pdf["file"], pdf["offset"],
+                                      pdf["length"]):
+                local = (fpath[len("file:"):]
+                         if fpath.startswith("file:") else fpath)
+                with open(local, "rb") as fh:
+                    fh.seek(int(off))
+                    data = fh.read(int(ln))
+                rows.extend(parse_warc_bytes(
+                    data, os.path.basename(local), strict=strict))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SCHEMA.fields])
+
+    return spans.mapInPandas(_read_spans, SCHEMA)
 
 
 def read(spark: SparkSession, path: str,

@@ -200,3 +200,72 @@ def test_lenient_mode_keeps_good_prefix(spark, tmp_path):
         warc.read(spark, p).collect()
     rows = warc.read(spark, p, strict=False).collect()
     assert len(rows) == 1 and bytes(rows[0]["payload"]) == b"ok"
+
+
+# ---------------------------------------------------------------------------
+# cdx-style member index + sub-file splits
+
+
+def _many_records(spark, n=40):
+    from pyspark.sql import Row
+    rows = [Row(warc_type="resource",
+                target_uri=f"http://example.com/{i}",
+                content_type="text/plain",
+                payload=(f"payload {i} ".encode() + b"x" * (50 * i)))
+            for i in range(n)]
+    return spark.createDataFrame(rows)
+
+
+def test_member_spans_cover_file_exactly(spark, tmp_path):
+    p = str(tmp_path / "big.warc.gz")
+    warc.write(_many_records(spark), p)
+    blob = open(p, "rb").read()
+    spans = warc.member_spans(blob)
+    assert len(spans) == 40                       # one member per record
+    # contiguous and covering: each member starts where the last ended
+    pos = 0
+    for off, ln in spans:
+        assert off == pos and ln > 0
+        pos = off + ln
+    assert pos == len(blob)
+
+
+def test_member_spans_truncated_raises(spark, tmp_path):
+    p = str(tmp_path / "t.warc.gz")
+    warc.write(_many_records(spark, 3), p)
+    blob = open(p, "rb").read()
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        warc.member_spans(blob[:-7])
+
+
+def test_index_members_matches_spans(spark, tmp_path):
+    p = str(tmp_path / "idx.warc.gz")
+    warc.write(_many_records(spark), p)
+    idx = warc.index_members(spark, p).collect()
+    spans = warc.member_spans(open(p, "rb").read())
+    assert [(r["offset"], r["length"]) for r in
+            sorted(idx, key=lambda r: r["member_idx"])] == spans
+
+
+def test_read_indexed_identical_split_vs_unsplit(spark, tmp_path):
+    """One multi-member archive parses identically whole-file vs split
+    into many spans, and the split plan really runs >1 task."""
+    p = str(tmp_path / "split.warc.gz")
+    warc.write(_many_records(spark), p)
+
+    def key(r):
+        return (r["target_uri"], r["warc_type"], bytes(r["payload"]))
+
+    whole = sorted(map(key, warc.read(spark, p).collect()))
+    split_df = warc.read_indexed(spark, p, split_bytes=512)
+    assert split_df.rdd.getNumPartitions() > 1
+    split = sorted(map(key, split_df.collect()))
+    assert split == whole and len(split) == 40
+
+
+def test_read_indexed_accepts_prebuilt_index(spark, tmp_path):
+    p = str(tmp_path / "pre.warc.gz")
+    warc.write(_many_records(spark, 10), p)
+    idx = warc.index_members(spark, p)
+    got = warc.read_indexed(spark, p, index=idx, split_bytes=1 << 30)
+    assert got.count() == 10
