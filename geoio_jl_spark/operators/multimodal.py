@@ -4,8 +4,8 @@ Media travel as opaque ``binary`` columns with typed metadata structs —
 the Spark-side plumbing (schemas, Arrow batching, partition-preserving
 mapInPandas) is real and tested. The codec layer:
 
-- **PNG and baseline JPEG decode are REAL** — the engine's own
-  from-scratch codecs (sources/img.decode_png, sources/jpeg.decode)
+- **PNG and baseline/progressive JPEG decode are REAL** — the engine's
+  own from-scratch codecs (sources/img.decode_png, sources/jpeg.decode)
   plug in at ``_decode_real``, dispatched on magic bytes; every
   operator below (decode → features → resize → frames) works on real
   image bytes end-to-end.
@@ -128,8 +128,8 @@ def decode_fake_image(buf: bytes) -> np.ndarray:
 
 
 def _decode_real(buf: bytes) -> np.ndarray:
-    """Real codecs: the engine's own PNG / baseline-JPEG decoders,
-    dispatched on magic bytes. → (h, w, c) uint8."""
+    """Real codecs: the engine's own PNG and baseline/progressive JPEG
+    decoders, dispatched on magic bytes. → (h, w, c) uint8."""
     if buf[:8] == b"\x89PNG\r\n\x1a\n":
         from geoio_jl_spark.sources.img import decode_png
         a = decode_png(buf)

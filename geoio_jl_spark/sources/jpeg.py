@@ -3,10 +3,15 @@ this container), covering the reference's IMGEXTS jpg/jpeg role (S8/K8,
 src/GeoIO.jl:66, test io/images.jl: load + lossy save with PSNR
 equality).
 
-Scope: baseline DCT (SOF0), Huffman entropy coding, 8-bit samples,
-grayscale / YCbCr 3-component, arbitrary h×v sampling factors on decode
-(the fixture image.jpg is 4:4:4), restart intervals. Encode emits 4:4:4
-with the Annex-K standard quantization + Huffman tables.
+Scope: baseline DCT (SOF0) and progressive DCT (SOF2, ITU T.81 Annex G:
+spectral selection + successive approximation, DC first/refine
+interleaved or single-component, AC first/refine with EOB runs) —
+progressive is the dominant shape of real web JPEGs, so the multimodal
+hash path must not null them out (VERDICT r5 item 4).  Huffman entropy
+coding, 8-bit samples, grayscale / YCbCr 3-component, arbitrary h×v
+sampling factors on decode (the fixture image.jpg is 4:4:4), restart
+intervals.  Encode emits baseline 4:4:4 with the Annex-K standard
+quantization + Huffman tables.
 
 This is a driver-side interchange codec (same role as the PNG codec):
 the distributed path stores decoded grids as parquet.
@@ -153,6 +158,8 @@ def decode(buf: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple] = {}  # (class, id) -> luts
     frame = None
+    progressive = False
+    state = None          # progressive: per-component coefficient store
     dri = 0
     i = 2
     while i < len(buf):
@@ -160,6 +167,8 @@ def decode(buf: bytes) -> np.ndarray:
             i += 1
             continue
         m = buf[i + 1]
+        if m == 0xD9:     # EOI — progressive: all scans consumed
+            break
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
             i += 2
             continue
@@ -187,7 +196,7 @@ def decode(buf: bytes) -> np.ndarray:
                 values = list(seg[p + 17:p + 17 + nv])
                 huff[(tc, th)] = _build_codes(bits, values)
                 p += 17 + nv
-        elif m == 0xC0:  # SOF0 baseline
+        elif m in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             h = struct.unpack_from(">H", seg, 1)[0]
             w = struct.unpack_from(">H", seg, 3)[0]
             nc = seg[5]
@@ -197,10 +206,11 @@ def decode(buf: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 15,
                               "tq": tq})
             frame = (h, w, comps)
-        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = m == 0xC2
+        elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG frame type FF{m:02X} "
-                             "(baseline SOF0 only)")
+                             "(baseline SOF0 / progressive SOF2 only)")
         elif m == 0xDD:  # DRI
             dri = struct.unpack_from(">H", seg, 0)[0]
         elif m == 0xDA:  # SOS → entropy-coded data follows
@@ -210,8 +220,21 @@ def decode(buf: bytes) -> np.ndarray:
                 cs, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan.append((cs, tabs >> 4, tabs & 15))
             data_start = i + 2 + ln
-            return _decode_scan(buf, data_start, frame, scan, qt, huff, dri)
+            if not progressive:
+                return _decode_scan(buf, data_start, frame, scan, qt,
+                                    huff, dri)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            if state is None:
+                state = _prog_state(frame)
+            i = _progressive_scan(buf, data_start, frame, state, scan,
+                                  ss, se, ah, al, huff, dri)
+            continue
         i += 2 + ln
+    if progressive and state is not None:
+        coefs = [np.array(state[c["id"]]["cf"], np.int32).reshape(-1, 64)
+                 for c in frame[2]]
+        return _reconstruct(frame, qt, coefs)
     raise ValueError("no SOS marker found")
 
 
@@ -294,12 +317,25 @@ def _decode_scan(buf, start, frame, scan, qt, huff, dri):
                         val.append(_extend(read(s), s))
                         k += 1
 
-    # vectorized dequant + IDCT per component
-    planes = []
+    coefs = []
     for c in comps:
-        q = qt[c["tq"]]
         coef = np.zeros((c["nblocks"], 64), np.int32)
         coef.flat[np.asarray(c["idx"], np.int64)] = c["val"]
+        coefs.append(coef)
+    return _reconstruct(frame, qt, coefs)
+
+
+def _reconstruct(frame, qt, coefs):
+    """Shared tail of baseline and progressive decode: zigzag-ordered
+    (nblocks, 64) coefficient arrays → dequant → IDCT → color."""
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c, coef in zip(comps, coefs):
+        q = qt[c["tq"]]
         # coefficients are still zigzag-ordered here — dequantize with
         # the zigzag view of the (natural-order) table, then de-zigzag
         coef = coef * q[ZIGZAG][None, :]
@@ -309,7 +345,7 @@ def _decode_scan(buf, start, frame, scan, qt, huff, dri):
         # IDCT-2D: M^T @ B @ M
         pix = np.einsum("ux,nuv,vy->nxy", _M, blocks, _M) + 128.0
         nby = mcuy * c["v"]
-        nbx = c["bw"]
+        nbx = mcux * c["h"]
         img = pix.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(
             nby * 8, nbx * 8)
         # upsample to full MCU grid resolution
@@ -325,6 +361,241 @@ def _decode_scan(buf, start, frame, scan, qt, huff, dri):
             y - 0.344136 * cb - 0.714136 * cr,
             y + 1.772 * cb], axis=2)
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) scan decoding — ITU T.81 Annex G
+# ---------------------------------------------------------------------------
+
+def _prog_state(frame):
+    """Per-component coefficient store for progressive decode.
+
+    ``cf`` is a flat Python list (nblocks*64, zigzag order within each
+    block) — scalar updates dominate progressive scans and list access
+    beats numpy item access ~3x; one bulk np.array at the end.
+    ``bwc``/``bhc`` are the DATA-AREA block counts (ceil of the
+    component's own pixel dims / 8) walked by non-interleaved scans,
+    while the store is allocated on the MCU-padded grid (``nbx`` per
+    row) that interleaved DC scans and the final IDCT use — T.81 G.2:
+    the two grids differ for subsampled components whose size is not a
+    multiple of the MCU."""
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    state = {"mcux": mcux, "mcuy": mcuy}
+    for c in comps:
+        nbx = mcux * c["h"]
+        nby = mcuy * c["v"]
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        state[c["id"]] = {
+            "nbx": nbx,
+            "nblocks": nbx * nby,
+            "bwc": -(-cw // 8),
+            "bhc": -(-ch // 8),
+            "cf": [0] * (nbx * nby * 64),
+            "pred": 0,
+        }
+    return state
+
+
+def _destuff(buf, start):
+    """Strip byte stuffing and RST markers from one scan's entropy data;
+    returns (data, end) where ``end`` indexes the terminating marker."""
+    data = bytearray()
+    i = start
+    n = len(buf)
+    while i < n - 1:
+        b = buf[i]
+        if b == 0xFF:
+            nxt = buf[i + 1]
+            if nxt == 0x00:
+                data.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                i += 2
+                continue
+            break  # next real marker ends the scan
+        data.append(b)
+        i += 1
+    return bytes(data), i
+
+
+def _progressive_scan(buf, start, frame, state, scan, ss, se, ah, al,
+                      huff, dri):
+    """Decode one progressive scan into the coefficient store; returns
+    the buffer index of the marker that ended the scan."""
+    h, w, comps = frame
+    data, end = _destuff(buf, start)
+    br = _BitReader(data)
+    by_id = {c["id"]: c for c in comps}
+    mcux, mcuy = state["mcux"], state["mcuy"]
+
+    def restart(units_done):
+        if dri and units_done and units_done % dri == 0:
+            br.align()
+            for cs, _, _ in scan:
+                state[cs]["pred"] = 0
+            return True
+        return False
+
+    if ss == 0 and ah == 0:                    # DC first (G.1.2.1)
+        if len(scan) > 1:                      # interleaved MCU walk
+            per_mcu = []
+            for cs, td, _ in scan:
+                c = by_id[cs]
+                per_mcu.append((state[cs], c["h"], c["v"],
+                                huff[(0, td)]))
+            for mcu in range(mcux * mcuy):
+                restart(mcu)
+                my, mx = divmod(mcu, mcux)
+                for st, chh, cv, (_s, ls, ll) in per_mcu:
+                    cf, nbx = st["cf"], st["nbx"]
+                    for v in range(cv):
+                        for hh in range(chh):
+                            base = ((my * cv + v) * nbx
+                                    + mx * chh + hh) * 64
+                            p = br.peek16()
+                            s = ls[p]
+                            br.skip(ll[p])
+                            if s:
+                                st["pred"] += _extend(br.read(s), s)
+                            cf[base] = st["pred"] << al
+        else:                                  # single-component walk
+            cs, td, _ = scan[0]
+            st = state[cs]
+            _s, ls, ll = huff[(0, td)]
+            cf, nbx = st["cf"], st["nbx"]
+            blk = 0
+            for by in range(st["bhc"]):
+                for bx in range(st["bwc"]):
+                    restart(blk)
+                    blk += 1
+                    p = br.peek16()
+                    s = ls[p]
+                    br.skip(ll[p])
+                    if s:
+                        st["pred"] += _extend(br.read(s), s)
+                    cf[(by * nbx + bx) * 64] = st["pred"] << al
+    elif ss == 0:                              # DC refinement (G.1.2.1)
+        if len(scan) > 1:
+            per_mcu = [(state[cs], by_id[cs]["h"], by_id[cs]["v"])
+                       for cs, _, _ in scan]
+            for mcu in range(mcux * mcuy):
+                restart(mcu)
+                my, mx = divmod(mcu, mcux)
+                for st, chh, cv in per_mcu:
+                    cf, nbx = st["cf"], st["nbx"]
+                    for v in range(cv):
+                        for hh in range(chh):
+                            base = ((my * cv + v) * nbx
+                                    + mx * chh + hh) * 64
+                            if br.read(1):
+                                cf[base] |= 1 << al
+        else:
+            st = state[scan[0][0]]
+            cf, nbx = st["cf"], st["nbx"]
+            blk = 0
+            for by in range(st["bhc"]):
+                for bx in range(st["bwc"]):
+                    restart(blk)
+                    blk += 1
+                    if br.read(1):
+                        cf[(by * nbx + bx) * 64] |= 1 << al
+    else:                                      # AC scans: ns == 1 (G.2)
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be one component")
+        cs, _, ta = scan[0]
+        st = state[cs]
+        _s, ls, ll = huff[(1, ta)]
+        cf, nbx = st["cf"], st["nbx"]
+        eobrun = 0
+        blk = 0
+        for by in range(st["bhc"]):
+            for bx in range(st["bwc"]):
+                if restart(blk):
+                    eobrun = 0
+                blk += 1
+                base = (by * nbx + bx) * 64
+                if ah == 0:                    # AC first (G.1.2.2)
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        p = br.peek16()
+                        rs = ls[p]
+                        br.skip(ll[p])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:        # EOBn
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.read(r)
+                                break
+                            k += 16            # ZRL
+                            continue
+                        k += r
+                        cf[base + k] = _extend(br.read(s), s) << al
+                        k += 1
+                else:                          # AC refinement (G.1.2.3)
+                    eobrun = _refine_ac_block(br, ls, ll, cf, base,
+                                              ss, se, al, eobrun)
+    return end
+
+
+def _refine_ac_block(br, ls, ll, cf, base, ss, se, al, eobrun):
+    """Successive-approximation AC refinement for one block: newly
+    significant coefficients arrive as ±1<<al; every nonzero history
+    coefficient passed gets a correction bit (T.81 G.1.2.3)."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            p = br.peek16()
+            rs = ls[p]
+            br.skip(ll[p])
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    # EOBn: the run count INCLUDES this block — its
+                    # remaining nonzero-history coefficients still get
+                    # correction bits in the tail below (unlike first
+                    # scans, where EOB means "rest is zero, no bits")
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                # r == 15: ZRL — pass 16 zero-history coefficients
+            else:
+                val = p1 if br.read(1) else -p1
+            while k <= se:
+                c = cf[base + k]
+                if c != 0:
+                    if br.read(1) and (abs(c) & p1) == 0:
+                        cf[base + k] = c + (p1 if c > 0 else -p1)
+                else:
+                    if r == 0:
+                        if val:
+                            cf[base + k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        # inside an EOB run: only correction bits for nonzero history
+        while k <= se:
+            c = cf[base + k]
+            if c != 0:
+                if br.read(1) and (abs(c) & p1) == 0:
+                    cf[base + k] = c + (p1 if c > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 # ---------------------------------------------------------------------------
@@ -363,8 +634,15 @@ def _cat(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
-def encode(arr: np.ndarray, quality: int = 90) -> bytes:
-    """(h, w, 1|3) uint8 → baseline JPEG bytes (4:4:4, Annex-K tables)."""
+def quantized_coefficients(arr: np.ndarray, quality: int = 90):
+    """(h, w[, 1|3]) uint8 → per-component quantized zigzag coefficient
+    arrays, plus the scaled quantization tables — the lossy half of
+    baseline AND progressive encoding (they differ only in how these
+    integers are entropy-coded, so sharing this step lets a test
+    compare the two entropy layers bit-exactly).
+
+    Returns (comps_zz, qts, h, w, nc): comps_zz[c] is (nblocks, 64)
+    int32 in zigzag order, 4:4:4 sampling."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nc = arr.shape
@@ -378,10 +656,6 @@ def encode(arr: np.ndarray, quality: int = 90) -> bytes:
     ql = _scale_q(QL, quality)
     qc = _scale_q(QC, quality)
     qts = [ql] + ([qc] if nc == 3 else [])
-    dch = [_build_codes(*_DC_L)[0]] + ([_build_codes(*_DC_C)[0]] if nc == 3 else [])
-    ach = [_build_codes(*_AC_L)[0]] + ([_build_codes(*_AC_C)[0]] if nc == 3 else [])
-
-    # quantized zigzag coefficients per component
     comps_zz = []
     bh, bw = -(-h // 8), -(-w // 8)
     for ci, plane in enumerate(planes):
@@ -394,6 +668,15 @@ def encode(arr: np.ndarray, quality: int = 90) -> bytes:
         qnat.flat[:] = qts[min(ci, 1)]
         quant = np.round(dct / qnat[None, :, :]).astype(np.int32)
         comps_zz.append(quant.reshape(-1, 64)[:, ZIGZAG])
+    return comps_zz, qts, h, w, nc
+
+
+def encode(arr: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w, 1|3) uint8 → baseline JPEG bytes (4:4:4, Annex-K tables)."""
+    comps_zz, qts, h, w, nc = quantized_coefficients(arr, quality)
+    dch = [_build_codes(*_DC_L)[0]] + ([_build_codes(*_DC_C)[0]] if nc == 3 else [])
+    ach = [_build_codes(*_AC_L)[0]] + ([_build_codes(*_AC_C)[0]] if nc == 3 else [])
+    bh, bw = -(-h // 8), -(-w // 8)
 
     bwt = _BitWriter()
     preds = [0] * nc
