@@ -9,10 +9,14 @@ mapInPandas) is real and tested. The codec layer:
   plug in at ``_decode_real``, dispatched on magic bytes; every
   operator below (decode → features → resize → frames) works on real
   image bytes end-to-end.
+- **WAV/PCM and FLAC audio decode are REAL** — stdlib ``wave`` plus the
+  engine's own from-scratch FLAC codec (``sources/flac.py``), dispatched
+  in ``decode_audio``;
 - a deterministic container format ("FKIM"/"FKAU" fake image/audio)
   additionally lets tests pin exact expected values;
-- other codecs (audio/video) raise ``NotImplementedError`` naming the
-  missing dependency (libav), leaving the DataFrame contracts unchanged.
+- lossy codecs (MP3/Ogg/AAC, video) raise ``NotImplementedError`` naming
+  the missing dependency (libav), leaving the DataFrame contracts
+  unchanged.
 
 Schemas:
   decode_images : binary → struct<width:int, height:int, channels:int,
@@ -77,9 +81,25 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     return bio.getvalue()
 
 
+def decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
+    """Magic-byte dispatch over the engine's own audio codecs: RIFF/WAVE
+    PCM (stdlib wave) and FLAC (from-scratch ``sources/flac.py``) →
+    (float64 samples (n, ch) in [-1, 1], rate).  Lossy codecs raise a
+    named NotImplementedError (libav absent from this container)."""
+    if buf[:4] == b"RIFF":
+        return decode_wav(buf)
+    if buf[:4] == b"fLaC":
+        from geoio_jl_spark.sources import flac
+        return flac.decode(buf)
+    raise NotImplementedError(
+        "unrecognized audio container (WAV/PCM and FLAC decode from "
+        "scratch; MP3/Ogg/AAC would need libav, absent from this "
+        "container)")
+
+
 def audio_features(df: DataFrame, col: str = "audio",
                    out: str = "features") -> DataFrame:
-    """WAV binary → array<float>: [duration_sec, rms, peak,
+    """WAV or FLAC binary → array<float>: [duration_sec, rms, peak,
     zero_crossing_rate] per channel-mixed signal (Arrow-batched)."""
     ensure_pyfiles(df.sparkSession)
 
@@ -91,7 +111,7 @@ def audio_features(df: DataFrame, col: str = "audio",
                 outv.append(None)
                 continue
             try:
-                a, rate = decode_wav(bytes(b))
+                a, rate = decode_audio(bytes(b))
             except Exception:
                 outv.append(None)
                 continue

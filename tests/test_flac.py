@@ -1,0 +1,93 @@
+"""FLAC codec tests — lossless round trips through the repo's own
+encoder across every subframe type / channel assignment / partition
+order the decoder supports, plus the STREAMINFO MD5 gate and the
+Arrow-batched ``audio_features`` dispatch (VERDICT r5 item 7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from geoio_jl_spark.operators import multimodal
+from geoio_jl_spark.sources import flac
+
+
+def _signal(n=5000, seed=3):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)
+    sig = (3000 * np.sin(t / 20) + 500 * np.sin(t / 3)
+           + rng.normal(0, 50, n)).astype(np.int64)
+    return np.stack([sig, (sig * 0.8 + 100).astype(np.int64)], axis=1)
+
+
+@pytest.mark.parametrize("method", ["fixed", "lpc", "verbatim"])
+@pytest.mark.parametrize("stereo", ["independent", "left_side",
+                                    "right_side", "mid_side"])
+def test_roundtrip_bit_exact(method, stereo):
+    x = _signal()
+    blob = flac.encode(x, 16000, 16, block_size=1024,
+                       method=method, stereo=stereo)
+    out, rate, bps = flac.decode_raw(blob)
+    assert (rate, bps) == (16000, 16)
+    np.testing.assert_array_equal(out, x)
+
+
+def test_partition_orders_roundtrip():
+    x = _signal(4096)
+    for po in (0, 1, 3):
+        out, _, _ = flac.decode_raw(
+            flac.encode(x, 8000, block_size=512, partition_order=po))
+        np.testing.assert_array_equal(out, x)
+
+
+def test_compression_actually_compresses():
+    """LPC on a tonal signal must beat raw PCM, or the codec is a
+    bit-bucket with extra steps."""
+    x = _signal(8000)
+    blob = flac.encode(x, 16000, method="lpc", stereo="mid_side")
+    assert len(blob) < x.size * 2 * 0.6
+
+
+def test_constant_and_short_tail_blocks():
+    x = np.full(3000, 42, np.int64)          # constant; 3000 % 1024 != 0
+    out, _, _ = flac.decode_raw(flac.encode(x, 8000, block_size=1024))
+    np.testing.assert_array_equal(out[:, 0], x)
+
+
+def test_md5_gate_rejects_corruption():
+    x = _signal(2000)
+    blob = bytearray(flac.encode(x, 16000, method="verbatim"))
+    # flip one payload bit far from the headers; CRC-16 or MD5 must trip
+    blob[len(blob) // 2] ^= 0x10
+    with pytest.raises(ValueError):
+        flac.decode_raw(bytes(blob))
+
+
+def test_decode_float_convention():
+    x = _signal(1000)
+    a, rate = flac.decode(flac.encode(x, 44100))
+    assert rate == 44100 and a.dtype == np.float64
+    assert np.abs(a).max() <= 1.0
+    np.testing.assert_allclose(a, x / 32768.0)
+
+
+def test_range_check_raises():
+    with pytest.raises(ValueError, match="16-bit range"):
+        flac.encode(np.array([40000]), 8000, bps=16)
+
+
+def test_audio_features_dispatches_flac(spark):
+    """audio_features must produce identical features for the same
+    samples shipped as WAV and as FLAC (the dispatch layer)."""
+    x = _signal(3200)
+    wav = multimodal.encode_wav(x / 32768.0, 16000)
+    fl = flac.encode(x, 16000, method="lpc")
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(fl)), (3, b"\x00bad")],
+        "id long, audio binary")
+    rows = {r["id"]: r["features"]
+            for r in multimodal.audio_features(df).collect()}
+    assert rows[3] is None                       # undecodable → null
+    assert rows[1] is not None and rows[2] is not None
+    np.testing.assert_allclose(rows[1], rows[2], rtol=1e-5)
