@@ -1,0 +1,83 @@
+"""Sequence packing — assign documents to fixed-length training
+sequences by concatenate-and-chunk (the GPT-style pretraining layout:
+all tokens laid end-to-end in doc_id order, cut every ``max_len``).
+
+No reference counterpart (LLM-pipeline axis of the brief).  The core is
+a GLOBAL running token offset, which naive Spark would express as a
+window over ``orderBy(doc_id)`` with no partitionBy — a single-task
+total sort that dies at 100 TB.  Instead this is the classic two-phase
+distributed prefix sum:
+
+1. ``repartitionByRange(doc_id)`` — ranges are assigned to ascending
+   partition ids, so partition id order IS global doc_id order;
+2. per-partition running sums via a window partitioned by
+   ``spark_partition_id()`` (parallel, bounded partitions);
+3. per-partition totals (one row per partition — metadata-scale) get
+   their own cumulative offsets and broadcast-join back.
+
+Every doc's global offset is then ``partition offset + local running
+sum``, exact and deterministic under any cluster size; seq ids are
+plain integer division from there.  One range shuffle + one tiny
+aggregate — the same shape at 32 rows or 10^12.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(docs: DataFrame, max_len: int,
+                   id_col: str = "doc_id",
+                   tok_col: str = "n_tokens",
+                   num_ranges: int | None = None) -> DataFrame:
+    """Per-doc packing assignment: global token ``offset``, the
+    ``seq_start``/``seq_end`` sequence ids the doc lands in (a doc
+    crossing a boundary spans several), and ``n_seqs``.
+
+    Zero-token docs occupy no space: they get their boundary offset
+    with ``n_seqs = 0`` and ``seq_end < seq_start``."""
+    if max_len <= 0:
+        raise ValueError("max_len must be positive")
+    sel = docs.select(id_col, tok_col)
+    if num_ranges:
+        sel = sel.repartitionByRange(num_ranges, id_col)
+    else:
+        sel = sel.repartitionByRange(id_col)
+    d = sel.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(id_col)
+    d = d.withColumn(
+        "__local", F.sum(tok_col).over(w) - F.col(tok_col))
+    totals = d.groupBy("__pid").agg(F.sum(tok_col).alias("__ptot"))
+    wo = (Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = totals.withColumn(
+        "__poff", F.coalesce(F.sum("__ptot").over(wo), F.lit(0)))
+    d = (d.join(F.broadcast(offs.select("__pid", "__poff")), "__pid")
+         .withColumn("offset",
+                     (F.col("__local") + F.col("__poff")).cast("bigint")))
+    n = F.col(tok_col)
+    seq_start = F.floor(F.col("offset") / max_len).cast("int")
+    seq_end = F.floor((F.col("offset") + n - 1) / max_len).cast("int")
+    return (d.withColumn("seq_start", seq_start)
+            .withColumn("seq_end", seq_end)
+            .withColumn("n_seqs",
+                        F.when(n > 0, F.col("seq_end") - F.col("seq_start")
+                               + 1).otherwise(0).cast("int"))
+            .select(id_col, tok_col, "offset",
+                    "seq_start", "seq_end", "n_seqs"))
+
+
+def packing_stats(packed: DataFrame, max_len: int,
+                  tok_col: str = "n_tokens") -> DataFrame:
+    """Per-sequence fill summary from a :func:`pack_sequences` result:
+    docs starting in each sequence, boundary-crossing docs, and the
+    exact token fill (last sequence may be partial).  One partial
+    aggregation over the packed table."""
+    return (packed
+            .groupBy("seq_start")
+            .agg(F.count("*").cast("int").alias("docs_started"),
+                 F.sum(F.when(F.col("n_seqs") > 1, 1).otherwise(0))
+                 .cast("int").alias("docs_crossing"),
+                 F.sum(tok_col).cast("bigint").alias("tokens_started"))
+            .withColumnRenamed("seq_start", "seq_id"))

@@ -2024,6 +2024,49 @@ GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# Q: sequence packing (operators/packing.py) — concat-and-chunk layout
+# of the corpus into 2048-token training sequences.  The Spark side is
+# the two-phase distributed prefix sum (range shuffle + tiny offset
+# broadcast — never a single-partition global window); the oracle is
+# the plain SQL running total it must equal.
+# ---------------------------------------------------------------------------
+
+_PACK_LEN = 2048
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoio_jl_spark.operators.packing import pack_sequences
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.expr(D.tokens_sql("text", "spark"))
+    d = docs.select("doc_id", F.size(toks).alias("n_tokens"))
+    return pack_sequences(d, _PACK_LEN)
+
+
+_SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id,
+         len({D.tokens_sql('text', 'duckdb')}) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS off
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(off AS BIGINT) AS offset,
+       CAST(off // {_PACK_LEN} AS INT) AS seq_start,
+       CAST((off + n_tokens - 1) // {_PACK_LEN} AS INT) AS seq_end,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN (off + n_tokens - 1) // {_PACK_LEN}
+                      - off // {_PACK_LEN} + 1
+                 ELSE 0 END AS INT) AS n_seqs
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: BPE tokenizer training (operators/bpe.py) — 8 merge rounds over the
 # word-count table; the oracle unrolls the identical rounds in SQL (the
 # ivf_topk pattern: deterministic iteration, same count-desc / pair-asc
@@ -2150,7 +2193,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "pip_pairs_salted": (q_pip_pairs_salted, SQL_PIP_PAIRS_SALTED),
         "knn_join": (q_knn, SQL_KNN),
         "mix_sample": (q_mix_sample, _SQL_MIX_SAMPLE),
-        "knn_join_pruned": (q_knn_pruned, SQL_KNN),
+        "pack_sequences": (q_pack_sequences, _SQL_PACK_SEQUENCES),
         "bbox_range_join": (q_bbox_join, SQL_BBOX_JOIN),
         "extent": (q_extent, SQL_EXTENT),
         "cell_counts": (q_cell_counts, SQL_CELL_COUNTS),
@@ -2202,11 +2245,14 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         # --- positions 51+: the driver's CORRECTNESS check caps at the
         # first 50 registry entries.  These rotated-out queries are all
         # multi-round driver-green (r1-r5) and remain covered by pytest
-        # and the local parity gate (tools/parity.py); the seven slots
+        # and the local parity gate (tools/parity_check.py); the slots
         # they vacated now hold mix_sample / bpe_merges / tile_pyramid /
-        # corpus_card / vocab_topk / ivf_topk / session_rollup so every
-        # operator family has a driver correctness row (VERDICT r5 #1).
+        # corpus_card / vocab_topk / ivf_topk / session_rollup (every
+        # operator family gets a driver correctness row, VERDICT r5 #1)
+        # plus round-6 pack_sequences (knn_join_pruned rotated out — its
+        # oracle is the same SQL_KNN as the in-window knn_join).
         "knn_join_partial": (q_knn_partial, SQL_KNN),
+        "knn_join_pruned": (q_knn_pruned, SQL_KNN),
         "langid_confusion": (q_langid_confusion, _sql_langid_confusion()),
         "ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard()),
         "events_window": (q_events_window, SQL_EVENTS_WINDOW),
