@@ -4,19 +4,24 @@ Media travel as opaque ``binary`` columns with typed metadata structs —
 the Spark-side plumbing (schemas, Arrow batching, partition-preserving
 mapInPandas) is real and tested. The codec layer:
 
-- **PNG and baseline/progressive JPEG decode are REAL** — the engine's
-  own from-scratch codecs (sources/img.decode_png, sources/jpeg.decode)
-  plug in at ``_decode_real``, dispatched on magic bytes; every
-  operator below (decode → features → resize → frames) works on real
-  image bytes end-to-end.
-- **WAV/PCM and FLAC audio decode are REAL** — stdlib ``wave`` plus the
-  engine's own from-scratch FLAC codec (``sources/flac.py``), dispatched
-  in ``decode_audio``;
+- **PNG, baseline/progressive JPEG, and GIF decode are REAL** — the
+  engine's own from-scratch codecs (sources/img.decode_png,
+  sources/jpeg.decode, sources/gif.decode) plug in at ``_decode_real``,
+  dispatched on magic bytes; every operator below (decode → features →
+  resize → frames) works on real image bytes end-to-end.
+- **Video frame sampling is REAL for AVI/MJPEG and animated GIF** —
+  sources/avi.py walks the RIFF container and emits stored JPEG frames
+  byte-identically without decoding unsampled ones; GIF frames
+  composite per GIF89a disposal semantics and re-encode as PNG.
+- **WAV/PCM, IMA-ADPCM, and FLAC audio decode are REAL** — stdlib
+  ``wave`` plus the engine's own from-scratch codecs
+  (``sources/flac.py``, ``sources/adpcm.py``), dispatched in
+  ``decode_audio``;
 - a deterministic container format ("FKIM"/"FKAU" fake image/audio)
   additionally lets tests pin exact expected values;
-- lossy codecs (MP3/Ogg/AAC, video) raise ``NotImplementedError`` naming
-  the missing dependency (libav), leaving the DataFrame contracts
-  unchanged.
+- inter-frame video (H.264/VP9/AV1) and lossy audio (MP3/Ogg/AAC) raise
+  ``NotImplementedError`` naming the missing dependency (libav),
+  leaving the DataFrame contracts unchanged.
 
 Schemas:
   decode_images : binary → struct<width:int, height:int, channels:int,
@@ -50,9 +55,16 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     (n, channels), sample_rate)."""
     import io
     import wave
-    with wave.open(io.BytesIO(buf)) as w:
-        nch, width, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
-        raw = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(buf)) as w:
+            nch, width, rate = (w.getnchannels(), w.getsampwidth(),
+                                w.getframerate())
+            raw = w.readframes(w.getnframes())
+    except wave.Error:
+        # stdlib wave is PCM-only; compressed WAV (IMA ADPCM, tag 0x11)
+        # decodes through the engine's own codec (sources/adpcm.py)
+        from geoio_jl_spark.sources import adpcm
+        return adpcm.decode_wav_adpcm(buf)
     if width == 2:
         a = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
     elif width == 1:
@@ -83,9 +95,10 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 
 def decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
     """Magic-byte dispatch over the engine's own audio codecs: RIFF/WAVE
-    PCM (stdlib wave) and FLAC (from-scratch ``sources/flac.py``) →
-    (float64 samples (n, ch) in [-1, 1], rate).  Lossy codecs raise a
-    named NotImplementedError (libav absent from this container)."""
+    PCM (stdlib wave), IMA ADPCM (from-scratch ``sources/adpcm.py``) and
+    FLAC (from-scratch ``sources/flac.py``) → (float64 samples (n, ch)
+    in [-1, 1], rate).  Lossy codecs raise a named NotImplementedError
+    (libav absent from this container)."""
     if buf[:4] == b"RIFF":
         return decode_wav(buf)
     if buf[:4] == b"fLaC":
@@ -156,10 +169,14 @@ def _decode_real(buf: bytes) -> np.ndarray:
     elif buf[:2] == b"\xff\xd8":
         from geoio_jl_spark.sources import jpeg
         a = jpeg.decode(buf)
+    elif buf[:4] == b"GIF8":
+        from geoio_jl_spark.sources import gif
+        a = gif.decode(buf)
     else:
         raise NotImplementedError(
-            "unrecognized media container (PNG/JPEG decode from scratch; "
-            "audio/video would need libav, absent from this container)")
+            "unrecognized media container (PNG/JPEG/GIF decode from "
+            "scratch; inter-frame video would need libav, absent from "
+            "this container)")
     return a if a.ndim == 3 else a[:, :, None]
 
 
@@ -249,10 +266,47 @@ def resize_images(df: DataFrame, factor: int, col: str = "image",
     return df.withColumn(out, _resize(F.col(col)))
 
 
+def _sample_frames_one(buf: bytes, every_k: int) -> list[bytes] | None:
+    """Magic-byte dispatch over the engine's own video-ish containers:
+
+    - AVI/MJPEG: every k-th ``00dc`` JPEG chunk emitted AS-IS (byte-
+      identical to the stored frame; unsampled frames are never entropy-
+      decoded — container walk only, the O(sampled) scale path);
+    - animated GIF: frames need cross-frame compositing (disposal +
+      transparency), so sampled composites re-encode losslessly as PNG;
+    - FKIM fake video (concatenated fake images): deterministic test path.
+
+    Inter-frame codecs (H.264/VP9/AV1) raise via avi.decode_frames'
+    named NotImplementedError -> null row (err carried by decode_images).
+    """
+    if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        from geoio_jl_spark.sources import avi
+        return [buf[off:off + ln]
+                for i, (off, ln) in enumerate(avi.frame_chunks(buf))
+                if i % every_k == 0]
+    if buf[:4] == b"GIF8":
+        from geoio_jl_spark.sources import gif
+        from geoio_jl_spark.sources.img import encode_png
+        return [encode_png(frame)
+                for i, (frame, _delay) in enumerate(gif.decode_frames(buf))
+                if i % every_k == 0]
+    frames, pos, i = [], 0, 0
+    while pos + 9 <= len(buf) and buf[pos:pos + 4] == MAGIC_IMG:
+        w, h, c = _s.unpack_from("<HHB", buf, pos + 4)
+        end = pos + 9 + w * h * c
+        if i % every_k == 0:
+            frames.append(buf[pos:end])
+        pos = end
+        i += 1
+    return frames
+
+
 def sample_frames(df: DataFrame, every_k: int, col: str = "video",
                   out: str = "frames") -> DataFrame:
-    """Fake video = concatenated fake images; emit every k-th frame as its
-    own binary (array<binary>). Real backend: libav/ffmpeg frame seek."""
+    """Emit every k-th frame as its own binary (array<binary>). REAL for
+    AVI/MJPEG (raw stored JPEG bytes) and animated GIF (composited
+    frames as lossless PNG); deterministic fake path for FKIM test
+    containers. See _sample_frames_one for the dispatch contract."""
     ensure_pyfiles(df.sparkSession)
 
     @F.pandas_udf("array<binary>")
@@ -262,16 +316,10 @@ def sample_frames(df: DataFrame, every_k: int, col: str = "video",
             if b is None:
                 outv.append(None)
                 continue
-            buf = bytes(b)
-            frames, pos, i = [], 0, 0
-            while pos + 9 <= len(buf) and buf[pos:pos + 4] == MAGIC_IMG:
-                w, h, c = _s.unpack_from("<HHB", buf, pos + 4)
-                end = pos + 9 + w * h * c
-                if i % every_k == 0:
-                    frames.append(buf[pos:end])
-                pos = end
-                i += 1
-            outv.append(frames)
+            try:
+                outv.append(_sample_frames_one(bytes(b), every_k))
+            except Exception:   # undecodable container → null row
+                outv.append(None)
         return pd.Series(outv)
 
     return df.withColumn(out, _sample(F.col(col)))

@@ -189,3 +189,76 @@ def test_image_neardup_guards():
         M.image_neardup_pairs(None, max_hamming=8, bands=8)
     with pytest.raises(ValueError, match="divide"):
         M.image_neardup_pairs(None, max_hamming=2, bands=7)
+
+
+def test_real_gif_through_pipeline(spark):
+    """GIF decode is real: still GIFs flow through decode_images /
+    image_features; animated GIFs through sample_frames as composited
+    lossless-PNG frames."""
+    import numpy as np
+
+    from geoio_jl_spark.operators import multimodal as M
+    from geoio_jl_spark.sources import gif
+    from geoio_jl_spark.sources.img import decode_png
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    f1 = rng.integers(0, 16, (20, 30), dtype=np.uint8)
+    f2 = rng.integers(0, 16, (20, 30), dtype=np.uint8)
+    f3 = rng.integers(0, 16, (20, 30), dtype=np.uint8)
+    still = gif.encode([f1], pal)
+    anim = gif.encode([f1, f2, f3], pal)
+    df = spark.createDataFrame([(1, bytearray(still))], ["id", "image"])
+    meta = M.decode_images(df).collect()[0]["meta"]
+    assert meta["ok"] and (meta["width"], meta["height"]) == (30, 20)
+    feats = M.image_features(df).collect()[0]["features"]
+    np.testing.assert_allclose(
+        feats[:3], pal[f1].reshape(-1, 3).mean(axis=0), rtol=1e-6)
+    vdf = spark.createDataFrame([(1, bytearray(anim))], ["id", "video"])
+    frames = M.sample_frames(vdf, every_k=2).collect()[0]["frames"]
+    assert len(frames) == 2                  # frames 0, 2
+    np.testing.assert_array_equal(decode_png(bytes(frames[0])), pal[f1])
+    np.testing.assert_array_equal(decode_png(bytes(frames[1])), pal[f3])
+
+
+def test_real_avi_mjpeg_through_sample_frames(spark):
+    """AVI/MJPEG frame sampling emits the stored JPEG bytes verbatim
+    (no re-encode, unsampled frames never decoded)."""
+    import numpy as np
+
+    from geoio_jl_spark.operators import multimodal as M
+    from geoio_jl_spark.sources import avi
+
+    rng = np.random.default_rng(12)
+    base = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    vids = avi.encode_mjpeg([np.roll(base, i, axis=0) for i in range(5)])
+    df = spark.createDataFrame(
+        [(1, bytearray(vids)), (2, None), (3, bytearray(b"junkjunkjunk"))],
+        ["id", "video"])
+    rows = {r["id"]: r["frames"]
+            for r in M.sample_frames(df, every_k=2).collect()}
+    assert len(rows[1]) == 3                 # frames 0, 2, 4
+    chunks = avi.frame_chunks(vids)
+    for got, (off, ln) in zip(rows[1], [chunks[0], chunks[2], chunks[4]]):
+        assert bytes(got) == vids[off:off + ln]
+    assert rows[2] is None
+    assert rows[3] == []                     # non-container: no FKIM frames
+
+
+def test_adpcm_audio_features_green(spark):
+    """audio_features works on IMA-ADPCM WAV (compressed audio path)."""
+    import numpy as np
+
+    from geoio_jl_spark.operators import multimodal as M
+    from geoio_jl_spark.sources import adpcm
+
+    t = np.arange(16000) / 16000.0
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    buf = adpcm.encode_wav_adpcm(x, rate=16000)
+    df = spark.createDataFrame([(1, bytearray(buf))], ["id", "audio"])
+    feats = M.audio_features(df).collect()[0]["features"]
+    dur, rms, peak, zc = feats
+    assert abs(dur - 1.0) < 1e-3
+    assert abs(rms - 0.5 / np.sqrt(2)) < 0.02
+    assert abs(peak - 0.5) < 0.03
+    assert abs(zc - 2 * 440 / 16000) < 0.01
