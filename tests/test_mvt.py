@@ -1,0 +1,143 @@
+"""MVT codec + tile sink tests.
+
+Spec anchors: the MVT 2.1 specification's own worked examples pin the
+command-integer encoding (point (25,17) -> [9, 50, 34]; multipoint and
+polygon examples likewise), so encode is checked against published
+constants, not just our own decoder."""
+
+import numpy as np
+import pytest
+
+from geoio_jl_spark.sources import mvt
+
+
+def test_spec_worked_example_point():
+    # spec §4.3.5.1: point (25, 17) encodes as [9, 50, 34]
+    assert mvt.encode_geometry(mvt.POINT, [[(25, 17)]]) == [9, 50, 34]
+
+
+def test_spec_worked_example_multipoint():
+    # spec §4.3.5.2: points (5,7), (3,2) -> [17, 10, 14, 3, 9]
+    assert (mvt.encode_geometry(mvt.POINT, [[(5, 7), (3, 2)]])
+            == [17, 10, 14, 3, 9])
+
+
+def test_spec_worked_example_polygon():
+    # spec §4.3.5.5: ring (3,6) (8,12) (20,34) ->
+    # [9, 6, 12, 18, 10, 12, 24, 44, 15]
+    assert (mvt.encode_geometry(mvt.POLYGON, [[(3, 6), (8, 12), (20, 34)]])
+            == [9, 6, 12, 18, 10, 12, 24, 44, 15])
+
+
+def test_geometry_roundtrip_all_types():
+    rng = np.random.default_rng(4)
+    pts = [[tuple(map(int, p)) for p in rng.integers(0, 4096, (7, 2))]]
+    lines = [[tuple(map(int, p)) for p in rng.integers(0, 4096, (5, 2))],
+             [tuple(map(int, p)) for p in rng.integers(0, 4096, (3, 2))]]
+    rings = [[(0, 0), (100, 0), (100, 100), (0, 100)],
+             [(20, 20), (20, 40), (40, 40)]]
+    for gtype, parts in ((mvt.POINT, pts), (mvt.LINESTRING, lines),
+                         (mvt.POLYGON, rings)):
+        enc = mvt.encode_geometry(gtype, parts)
+        assert mvt.decode_geometry(gtype, enc) == parts
+
+
+def test_tile_roundtrip_with_typed_props():
+    feats = [
+        {"id": 1, "type": mvt.POINT, "parts": [[(10, 20)]],
+         "props": {"name": "a", "rank": 3, "score": 0.5, "neg": -7,
+                   "ok": True}},
+        {"id": 2, "type": mvt.POINT, "parts": [[(30, 40)]],
+         "props": {"name": "b", "rank": 3}},      # 'rank': 3 dedups
+    ]
+    buf = mvt.encode_tile({"pois": {"extent": 4096, "features": feats}})
+    out = mvt.decode_tile(buf)
+    assert list(out) == ["pois"]
+    layer = out["pois"]
+    assert layer["extent"] == 4096
+    got = layer["features"]
+    assert got[0]["props"] == feats[0]["props"]
+    assert got[1]["props"] == feats[1]["props"]
+    assert got[0]["parts"] == [[(10, 20)]]
+    assert got[1]["id"] == 2
+
+
+def test_value_table_dedup():
+    feats = [{"id": i, "type": mvt.POINT, "parts": [[(i, i)]],
+              "props": {"k": "same"}} for i in range(1, 6)]
+    buf = mvt.encode_tile({"l": {"features": feats}})
+    # the string 'same' must appear exactly once in the blob
+    assert buf.count(b"same") == 1
+
+
+def test_multilayer_tile():
+    buf = mvt.encode_tile({
+        "a": {"features": [{"id": 1, "type": mvt.POINT,
+                            "parts": [[(1, 1)]], "props": {}}]},
+        "b": {"extent": 256,
+              "features": [{"id": 1, "type": mvt.LINESTRING,
+                            "parts": [[(0, 0), (10, 10)]], "props": {}}]},
+    })
+    out = mvt.decode_tile(buf)
+    assert set(out) == {"a", "b"}
+    assert out["b"]["extent"] == 256
+    assert out["b"]["features"][0]["parts"] == [[(0, 0), (10, 10)]]
+
+
+def test_polygon_needs_three_vertices():
+    with pytest.raises(ValueError, match="ring"):
+        mvt.encode_geometry(mvt.POLYGON, [[(0, 0), (1, 1)]])
+
+
+def test_points_to_mvt_spark(spark):
+    """End-to-end: point table -> tile archive -> decode every tile and
+    reconstruct exact per-tile point sets + props vs direct numpy."""
+    from geoio_jl_spark.sources.mvt import decode_tile, points_to_mvt
+
+    rng = np.random.default_rng(6)
+    n = 400
+    xs = rng.integers(0, 256, n)              # 4x4 tiles at base_tile=64
+    ys = rng.integers(0, 256, n)
+    cat = [f"c{int(v)}" for v in rng.integers(0, 3, n)]
+    df = spark.createDataFrame(
+        [(int(x), int(y), c) for x, y, c in zip(xs, ys, cat)],
+        ["x", "y", "cat"])
+    tiles = points_to_mvt(df, "x", "y", zoom=2, base_tile=64,
+                          extent=4096, prop_cols=["cat"]).collect()
+    # expected per-tile multisets
+    exp = {}
+    for x, y, c in zip(xs, ys, cat):
+        key = (int(x) // 64, int(y) // 64)
+        px, py = int(x) % 64 * 4096 // 64, int(y) % 64 * 4096 // 64
+        exp.setdefault(key, []).append((px, py, c))
+    got = {}
+    for row in tiles:
+        assert row["zoom"] == 2
+        layers = decode_tile(bytes(row["mvt"]))
+        feats = layers["points"]["features"]
+        got[(row["tx"], row["ty"])] = [
+            (f["parts"][0][0][0], f["parts"][0][0][1], f["props"]["cat"])
+            for f in feats]
+    assert set(got) == set(exp)
+    for k in exp:
+        assert sorted(got[k]) == sorted(exp[k])
+
+
+def test_save_mvt_dir(spark, tmp_path):
+    from geoio_jl_spark.sources.mvt import points_to_mvt, save_mvt_dir
+    df = spark.createDataFrame([(i, i) for i in range(10)], ["x", "y"])
+    tiles = points_to_mvt(df, "x", "y", zoom=0, base_tile=64)
+    n = save_mvt_dir(tiles, str(tmp_path / "tiles"))
+    assert n == 1
+    p = tmp_path / "tiles" / "0" / "0" / "0.mvt"
+    assert p.exists()
+    out = mvt.decode_tile(p.read_bytes())
+    assert len(out["points"]["features"]) == 10
+
+
+def test_save_mvt_dir_guard(spark):
+    from geoio_jl_spark.sources.mvt import points_to_mvt, save_mvt_dir
+    df = spark.createDataFrame([(i * 64, 0) for i in range(5)], ["x", "y"])
+    tiles = points_to_mvt(df, "x", "y", zoom=1, base_tile=64)
+    with pytest.raises(ValueError, match="exceed the driver-export guard"):
+        save_mvt_dir(tiles, "/tmp/never", max_tiles=2)
