@@ -239,31 +239,103 @@ def image_features(df: DataFrame, col: str = "image",
     return df.withColumn(out, _feat(F.col(col)))
 
 
+def _box_downscale(a: np.ndarray, factor: int) -> np.ndarray:
+    """Area-average (box-filter) downscale by an integer factor — the
+    correct anti-aliased reduction for training-data thumbnails, pure
+    numpy reshape-mean.  Trailing rows/cols that don't fill a full
+    ``factor`` block are cropped (documented contract; a web thumbnailer
+    does the same)."""
+    h, w, c = a.shape
+    hh, ww = h // factor, w // factor
+    if hh == 0 or ww == 0:
+        raise ValueError(f"image {h}x{w} smaller than factor {factor}")
+    blocks = a[: hh * factor, : ww * factor].reshape(
+        hh, factor, ww, factor, c).astype(np.float64)
+    return (blocks.mean(axis=(1, 3)) + 0.5).astype(np.uint8)
+
+
 def resize_images(df: DataFrame, factor: int, col: str = "image",
                   out: str = "resized") -> DataFrame:
-    """Subsample every ``factor``-th pixel (nearest-neighbor downscale on
-    the fake format; a real backend would call PIL.resize here)."""
+    """Integer-factor downscale, Arrow-batched.
+
+    REAL formats (PNG/JPEG/GIF) decode through the engine's own codecs,
+    box-filter downscale in numpy, and re-encode as lossless PNG; the
+    FKIM fake format keeps its historical nearest-neighbor subsample
+    (tests pin exact pixel values through it)."""
     ensure_pyfiles(df.sparkSession)
 
     @F.pandas_udf("binary")
     def _resize(blobs: pd.Series) -> pd.Series:
+        from geoio_jl_spark.sources.img import encode_png
         outv = []
         for b in blobs:
             if b is None:
                 outv.append(None)
                 continue
+            buf = bytes(b)
             try:
-                a = decode_fake_image(bytes(b))
+                if buf[:4] == MAGIC_IMG:
+                    a = decode_fake_image(buf)
+                    small = a[::factor, ::factor, :]
+                    h, w, c = small.shape
+                    outv.append(MAGIC_IMG + _s.pack("<HHB", w, h, c)
+                                + np.ascontiguousarray(small).tobytes())
+                else:
+                    small = _box_downscale(_decode_real(buf), factor)
+                    outv.append(encode_png(small))
             except Exception:
                 outv.append(None)
                 continue
-            small = a[::factor, ::factor, :]
-            h, w, c = small.shape
-            outv.append(MAGIC_IMG + _s.pack("<HHB", w, h, c)
-                        + np.ascontiguousarray(small).tobytes())
         return pd.Series(outv)
 
     return df.withColumn(out, _resize(F.col(col)))
+
+
+VIDEO_META_SCHEMA = ("container string, codec string, width int, "
+                     "height int, fps int, n_frames int, ok boolean, "
+                     "err string")
+
+
+def probe_videos(df: DataFrame, col: str = "video",
+                 out: str = "vmeta") -> DataFrame:
+    """binary → typed video metadata struct — container-walk only, no
+    frame is ever decoded (the O(1)-per-row scale path for corpus-wide
+    media stats).  AVI via sources/avi.probe; animated GIF reports
+    frame count from the image-descriptor walk."""
+    ensure_pyfiles(df.sparkSession)
+
+    @F.pandas_udf(VIDEO_META_SCHEMA)
+    def _probe(blobs: pd.Series) -> pd.DataFrame:
+        from geoio_jl_spark.sources import avi as _avi
+        rows = []
+        for b in blobs:
+            if b is None:
+                rows.append((None, None, None, None, None, None,
+                             False, "null"))
+                continue
+            buf = bytes(b)
+            try:
+                if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+                    m = _avi.probe(buf)
+                    rows.append(("avi", m["codec"], m["width"],
+                                 m["height"], m["fps"], m["n_frames"],
+                                 True, None))
+                elif buf[:4] == b"GIF8":
+                    from geoio_jl_spark.sources.gif import probe as _gprobe
+                    m = _gprobe(buf)
+                    rows.append(("gif", "gif", m["width"], m["height"],
+                                 None, m["n_frames"], True, None))
+                else:
+                    rows.append((None, None, None, None, None, None,
+                                 False, "unrecognized video container"))
+            except Exception as e:  # noqa: BLE001 — per-row error column
+                rows.append((None, None, None, None, None, None,
+                             False, str(e)[:120]))
+        return pd.DataFrame(rows, columns=[
+            "container", "codec", "width", "height", "fps", "n_frames",
+            "ok", "err"])
+
+    return df.withColumn(out, _probe(F.col(col)))
 
 
 def _sample_frames_one(buf: bytes, every_k: int) -> list[bytes] | None:

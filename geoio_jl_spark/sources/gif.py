@@ -313,3 +313,46 @@ def encode(frames: list[np.ndarray], palette: np.ndarray,
         out += _subblocks(_lzw_encode(rows.reshape(-1), min_code))
     out += b"\x3b"
     return bytes(out)
+
+
+def probe(buf: bytes) -> dict:
+    """Structural metadata without any LZW decode: {width, height,
+    n_frames} — the sub-block walk reads only length bytes, so cost is
+    O(blocks), not O(pixels)."""
+    if buf[:4] != b"GIF8" or buf[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF file")
+    w, h, packed = struct.unpack_from("<HHB", buf, 6)
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    n_frames = 0
+    while pos < len(buf):
+        block = buf[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            pos += 1                                     # label
+            pos = _skip_subblocks(buf, pos)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF: unknown block 0x{block:02x}")
+        fpacked = buf[pos + 8]
+        pos += 9
+        if fpacked & 0x80:
+            pos += 3 * (2 << (fpacked & 0x07))
+        pos += 1                                         # LZW min code
+        pos = _skip_subblocks(buf, pos)
+        n_frames += 1
+    return {"width": w, "height": h, "n_frames": n_frames}
+
+
+def _skip_subblocks(buf: bytes, pos: int) -> int:
+    while True:
+        if pos >= len(buf):
+            raise ValueError("GIF: truncated sub-block chain")
+        n = buf[pos]
+        pos += 1
+        if n == 0:
+            return pos
+        pos += n

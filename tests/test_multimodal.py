@@ -106,9 +106,12 @@ def test_real_png_and_jpeg_through_pipeline(spark):
         feats[2][:3], arr.reshape(-1, 3).mean(axis=0), atol=3.0)
     rs = {r["id"]: r["resized"] for r in
           M.resize_images(df, 2).select("id", "resized").collect()}
-    a = M.decode_fake_image(bytes(rs[1]))
+    from geoio_jl_spark.sources.img import decode_png
+    a = decode_png(bytes(rs[1]))           # real formats: box filter → PNG
     assert a.shape == (12, 16, 3)
-    np.testing.assert_array_equal(a, arr[::2, ::2, :])
+    exp = (arr.reshape(12, 2, 16, 2, 3).astype(np.float64)
+           .mean(axis=(1, 3)) + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(a, exp)
 
 
 def test_real_wav_audio_features(spark):
@@ -262,3 +265,63 @@ def test_adpcm_audio_features_green(spark):
     assert abs(rms - 0.5 / np.sqrt(2)) < 0.02
     assert abs(peak - 0.5) < 0.03
     assert abs(zc - 2 * 440 / 16000) < 0.01
+
+
+def test_resize_real_png_box_filter(spark):
+    """Real-format resize: box-filter downscale, PNG out, exact vs numpy."""
+    import numpy as np
+
+    from geoio_jl_spark.operators import multimodal as M
+    from geoio_jl_spark.sources.img import decode_png, encode_png
+
+    rng = np.random.default_rng(13)
+    arr = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    df = spark.createDataFrame([(1, bytearray(encode_png(arr)))],
+                               ["id", "image"])
+    out = M.resize_images(df, 4).collect()[0]["resized"]
+    got = decode_png(bytes(out))
+    exp = (arr.reshape(6, 4, 8, 4, 3).astype(np.float64)
+           .mean(axis=(1, 3)) + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_probe_videos(spark):
+    import numpy as np
+
+    from geoio_jl_spark.operators import multimodal as M
+    from geoio_jl_spark.sources import avi, gif
+
+    rng = np.random.default_rng(14)
+    frames = [rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+              for _ in range(4)]
+    vid = avi.encode_mjpeg(frames, fps=8)
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    g = gif.encode([rng.integers(0, 4, (9, 11), dtype=np.uint8)
+                    for _ in range(3)], pal)
+    df = spark.createDataFrame(
+        [(1, bytearray(vid)), (2, bytearray(g)), (3, None),
+         (4, bytearray(b"nope"))], ["id", "video"])
+    rows = {r["id"]: r["vmeta"] for r in M.probe_videos(df).collect()}
+    assert rows[1]["container"] == "avi" and rows[1]["codec"] == "MJPG"
+    assert (rows[1]["width"], rows[1]["height"],
+            rows[1]["fps"], rows[1]["n_frames"]) == (16, 12, 8, 4)
+    assert rows[2]["container"] == "gif"
+    assert (rows[2]["width"], rows[2]["height"],
+            rows[2]["n_frames"]) == (11, 9, 3)
+    assert not rows[3]["ok"] and rows[3]["err"] == "null"
+    assert not rows[4]["ok"] and "unrecognized" in rows[4]["err"]
+
+
+def test_gif_probe_matches_decode():
+    import numpy as np
+
+    from geoio_jl_spark.sources import gif
+
+    rng = np.random.default_rng(15)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    frames = [rng.integers(0, 8, (7, 5), dtype=np.uint8)
+              for _ in range(5)]
+    buf = gif.encode(frames, pal, interlace=True)
+    m = gif.probe(buf)
+    assert m == {"width": 5, "height": 7, "n_frames": 5}
+    assert len(gif.decode_frames(buf)) == 5
