@@ -171,3 +171,75 @@ def test_j2k_codestream_roundtrip_property(h, w, depth, levels, cb_exp,
     cs = encode_j2k_lossless(img, depth, levels=levels, cb_exp=cb_exp)
     out, info = decode_j2k(cs)
     assert np.array_equal(out, img)
+
+
+# ---------------------------------------------------------------------------
+# round-6 codecs: GIF LZW, IMA ADPCM, MVT protobuf primitives
+# ---------------------------------------------------------------------------
+
+@given(st.integers(2, 8),
+       st.lists(st.integers(0, 255), min_size=1, max_size=400))
+def test_gif_lzw_roundtrip_property(min_code, vals):
+    from geoio_jl_spark.sources.gif import _lzw_decode, _lzw_encode
+    idx = np.array([v % (1 << min_code) for v in vals], np.uint8)
+    enc = _lzw_encode(idx, min_code)
+    out = _lzw_decode(enc, min_code, len(idx))
+    np.testing.assert_array_equal(out, idx)
+
+
+@given(st.integers(1, 64), st.integers(1, 64), st.integers(2, 32),
+       st.booleans(), st.integers(0, 2**31))
+def test_gif_full_roundtrip_property(h, w, ncol, interlace, seed):
+    from geoio_jl_spark.sources import gif
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncol, (h, w), dtype=np.uint8)
+    buf = gif.encode([idx], pal, interlace=interlace)
+    np.testing.assert_array_equal(gif.decode(buf), pal[idx])
+
+
+@given(st.integers(1, 2), st.integers(9, 65),
+       st.lists(st.integers(-32768, 32767), min_size=4, max_size=600))
+def test_adpcm_vector_equals_scalar_property(nch, spb_base, samples):
+    """Vectorized decoder == scalar spec transcription for arbitrary
+    PCM, channel counts, and block sizes."""
+    from geoio_jl_spark.sources import adpcm
+    from tests.test_avi_adpcm import _scalar_decode
+    spb = (spb_base - 1) // 8 * 8 + 1          # 1 + multiple of 8
+    n = len(samples) - len(samples) % nch
+    if n == 0:
+        return
+    pcm = np.array(samples[:n], np.int16).reshape(-1, nch)
+    data, balign = adpcm.encode_blocks(pcm, spb=spb)
+    np.testing.assert_array_equal(
+        adpcm.decode_blocks(data, nch, balign),
+        _scalar_decode(data, nch, balign))
+
+
+@given(st.integers(-2**63, 2**63 - 1))
+def test_mvt_zigzag_roundtrip(n):
+    from geoio_jl_spark.sources.mvt import _unzigzag, _zigzag
+    z = _zigzag(n)
+    assert z >= 0
+    assert _unzigzag(z) == n
+
+
+@given(st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=50))
+def test_mvt_varint_stream_roundtrip(vals):
+    from geoio_jl_spark.sources.mvt import _read_varint, _varint
+    buf = b"".join(_varint(v) for v in vals)
+    pos, out = 0, []
+    while pos < len(buf):
+        v, pos = _read_varint(buf, pos)
+        out.append(v)
+    assert out == vals
+
+
+@given(st.lists(st.lists(st.tuples(st.integers(0, 4095),
+                                   st.integers(0, 4095)),
+                         min_size=2, max_size=20),
+                min_size=1, max_size=5))
+def test_mvt_linestring_geometry_roundtrip(parts):
+    from geoio_jl_spark.sources import mvt
+    enc = mvt.encode_geometry(mvt.LINESTRING, parts)
+    assert mvt.decode_geometry(mvt.LINESTRING, enc) == parts
