@@ -144,3 +144,55 @@ def tokens_sql(expr: str, dialect: str) -> str:
     if dialect == "duckdb":
         return f"list_filter(string_split_regex({expr}, '\\s+'), x -> x != '')"
     raise ValueError(f"unknown dialect: {dialect}")
+
+
+# ---------------------------------------------------------------------------
+# Geohash (round 6) — classic base-32 interleaved-bit cell key.  The
+# centidegree lattice makes the bin indices exact integer arithmetic:
+#   lon in [-180, 180) <- lon_i/100 - 180, so (lon+180)/360 = lon_i/36000
+#   lat in [ -85,  85) <- lat_i/100 -  85, so (lat+90)/180 = (lat_i+500)/18000
+# Bin products stay < 2**53, so floor(x / c.0) is the identical IEEE op in
+# both engines (module rules above).  Geohash interleaving: even stream
+# bits (0-based, MSB first) come from longitude, odd from latitude;
+# each base-32 digit is 5 stream bits.
+# ---------------------------------------------------------------------------
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_idx_sql(lon_i: str, lat_i: str, precision: int
+                    ) -> tuple[str, str, int, int]:
+    """(lon_idx_sql, lat_idx_sql, nlon_bits, nlat_bits)."""
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    lon_idx = (f"CAST(floor((CAST(({lon_i}) AS BIGINT) * {1 << nlon})"
+               " / 36000.0) AS BIGINT)")
+    lat_idx = (f"CAST(floor((CAST((({lat_i}) + 500) AS BIGINT)"
+               f" * {1 << nlat}) / 18000.0) AS BIGINT)")
+    return lon_idx, lat_idx, nlon, nlat
+
+
+def geohash_sql(lon_idx_col: str, lat_idx_col: str, precision: int) -> str:
+    """Base-32 geohash string from hoisted bin-index columns (hoist the
+    :func:`geohash_idx_sql` expressions first — they are referenced
+    once per bit here)."""
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    digits = []
+    for d in range(precision):
+        terms = []
+        for m in range(5):
+            j = 5 * d + m                      # stream bit, MSB first
+            if j % 2 == 0:
+                src, shift = lon_idx_col, nlon - 1 - j // 2
+            else:
+                src, shift = lat_idx_col, nlat - 1 - (j - 1) // 2
+            bit = (f"(CAST(floor(({src}) / {float(1 << shift)}) AS BIGINT)"
+                   f" % 2)") if shift else f"(({src}) % 2)"
+            terms.append(f"{bit} * {1 << (4 - m)}" if m < 4 else bit)
+        digit = " + ".join(terms)
+        digits.append(
+            f"substring('{GEOHASH_ALPHABET}', CAST(({digit}) AS INT) + 1, 1)")
+    return " || ".join(digits)

@@ -2067,6 +2067,38 @@ FROM c
 
 
 # ---------------------------------------------------------------------------
+# Q: geohash cells (dialect.geohash_sql) — classic base-32 interleaved-bit
+# cell key over the doc lattice; bin indices are exact integer arithmetic
+# (power-of-two divisions are IEEE-exact), so Spark and DuckDB agree
+# bit-for-bit.  The aggregate is the cell-occupancy histogram a tile
+# server or a geo-shard planner would build.
+# ---------------------------------------------------------------------------
+
+_GEOHASH_P = 6
+
+
+def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _docs_points(spark, sf_dir)
+    lon_idx, lat_idx, _, _ = D.geohash_idx_sql("lon_i", "lat_i", _GEOHASH_P)
+    gh = D.geohash_sql("lon_idx", "lat_idx", _GEOHASH_P)
+    return (pts
+            .withColumn("lon_idx", F.expr(lon_idx))
+            .withColumn("lat_idx", F.expr(lat_idx))
+            .select(F.expr(gh).alias("gh"))
+            .groupBy("gh")
+            .agg(F.count("*").cast("bigint").alias("n")))
+
+
+def _sql_geohash_cells() -> str:
+    lon_idx, lat_idx, _, _ = D.geohash_idx_sql(LON, LAT, _GEOHASH_P)
+    gh = D.geohash_sql("lon_idx", "lat_idx", _GEOHASH_P)
+    return f"""WITH pts AS (
+  SELECT {lon_idx} AS lon_idx, {lat_idx} AS lat_idx FROM documents)
+SELECT {gh} AS gh, CAST(count(*) AS BIGINT) AS n
+FROM pts GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
 # Q: BPE tokenizer training (operators/bpe.py) — 8 merge rounds over the
 # word-count table; the oracle unrolls the identical rounds in SQL (the
 # ivf_topk pattern: deterministic iteration, same count-desc / pair-asc
@@ -2228,7 +2260,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "cell_counts": (q_cell_counts, SQL_CELL_COUNTS),
         "zorder_cells": (q_zorder_cells, _sql_zorder_cells()),
         "valid_counts": (q_valid_counts, SQL_VALID_COUNTS),
-        "invalid_rows": (q_invalid_rows, SQL_INVALID_ROWS),
+        "geohash_cells": (q_geohash_cells, _sql_geohash_cells()),
         "centroid": (q_centroid, SQL_CENTROID),
         "grid_tiles": (q_grid_tiles, SQL_GRID_TILES),
         "token_stats": (q_token_stats, SQL_TOKEN_STATS),
@@ -2283,6 +2315,9 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         # round-6 bpe_encode (bpe_tokens rotated out — bpe_encode is the
         # strictly stronger tokenizer check: real merge application vs
         # the regex token-count heuristic).
+        # round-6 geohash_cells took invalid_rows' slot (P4 stays
+        # covered by pytest + the in-window valid_counts P3 twin).
+        "invalid_rows": (q_invalid_rows, SQL_INVALID_ROWS),
         "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),
         "knn_join_partial": (q_knn_partial, SQL_KNN),
         "knn_join_pruned": (q_knn_pruned, SQL_KNN),
