@@ -1,0 +1,124 @@
+"""Log-structured corpus store (plans/store.py): CDC upsert, merge-on-
+read resolve, compaction, idempotence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoio_jl_spark.plans import store as S
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["url", "text"])
+
+
+def _resolved_dict(spark, d):
+    return {r["url"]: r["text"]
+            for r in S.resolve(spark, d).select("url", "text").collect()}
+
+
+def test_two_epoch_upsert_and_resolve(spark, tmp_path):
+    d = str(tmp_path / "store")
+    r1 = S.ingest(spark, d, _df(spark, [
+        ("u1", "alpha"), ("u2", "beta"), ("u3", "gamma")]), epoch=1)
+    assert (r1["inserted"], r1["updated"]) == (3, 0)
+    r2 = S.ingest(spark, d, _df(spark, [
+        ("u2", "beta"),            # unchanged -> no delta row
+        ("u3", "gamma-v2"),        # changed  -> update
+        ("u4", "delta"),           # new      -> insert
+    ]), epoch=2)
+    assert (r2["inserted"], r2["updated"]) == (1, 1)
+    assert _resolved_dict(spark, d) == {
+        "u1": "alpha", "u2": "beta", "u3": "gamma-v2", "u4": "delta"}
+
+
+def test_delta_contains_only_changes(spark, tmp_path):
+    d = str(tmp_path / "store")
+    S.ingest(spark, d, _df(spark, [("u1", "a"), ("u2", "b")]), epoch=1)
+    S.ingest(spark, d, _df(spark, [("u1", "a"), ("u2", "B")]), epoch=2)
+    log = S.changes(spark, d, since_epoch=1)
+    rows = {(r["url"], r["op"]) for r in log.collect()}
+    assert rows == {("u2", "update")}          # u1 wrote zero bytes
+    prev = log.collect()[0]
+    assert prev["prev_hash"] is not None       # CDC carries old hash
+
+
+def test_epoch_idempotence(spark, tmp_path):
+    d = str(tmp_path / "store")
+    S.ingest(spark, d, _df(spark, [("u1", "a")]), epoch=1)
+    again = S.ingest(spark, d, _df(spark, [("u1", "DIFFERENT")]), epoch=1)
+    assert again["skipped"]
+    assert _resolved_dict(spark, d) == {"u1": "a"}   # retry is a no-op
+
+
+def test_epoch_must_advance(spark, tmp_path):
+    d = str(tmp_path / "store")
+    S.ingest(spark, d, _df(spark, [("u1", "a")]), epoch=5)
+    with pytest.raises(ValueError, match="not after"):
+        S.ingest(spark, d, _df(spark, [("u2", "b")]), epoch=3)
+
+
+def test_in_batch_duplicate_keys_collapse(spark, tmp_path):
+    d = str(tmp_path / "store")
+    r = S.ingest(spark, d, _df(spark, [
+        ("u1", "x"), ("u1", "y"), ("u2", "z")]), epoch=1)
+    assert r["inserted"] == 2
+    got = _resolved_dict(spark, d)
+    assert set(got) == {"u1", "u2"}
+    assert got["u1"] in ("x", "y")             # deterministic winner
+    # determinism: same batch again under a fresh store -> same winner
+    d2 = str(tmp_path / "store2")
+    S.ingest(spark, d2, _df(spark, [
+        ("u1", "x"), ("u1", "y"), ("u2", "z")]), epoch=1)
+    assert _resolved_dict(spark, d2)["u1"] == got["u1"]
+
+
+def test_compaction_preserves_resolve_and_continues(spark, tmp_path):
+    d = str(tmp_path / "store")
+    S.ingest(spark, d, _df(spark, [("u1", "a"), ("u2", "b")]), epoch=1)
+    S.ingest(spark, d, _df(spark, [("u2", "B"), ("u3", "c")]), epoch=2)
+    before = _resolved_dict(spark, d)
+    out = S.compact(spark, d)
+    assert out["compacted"] and out["base_epoch"] == 2
+    assert _resolved_dict(spark, d) == before
+    man = S.read_manifest(d)
+    assert man["epochs"] == []
+    # ingestion continues after compaction
+    S.ingest(spark, d, _df(spark, [("u1", "A2"), ("u4", "d")]), epoch=3)
+    after = _resolved_dict(spark, d)
+    assert after == {"u1": "A2", "u2": "B", "u3": "c", "u4": "d"}
+    # CDC log after compaction only has the new tail
+    log = {(r["url"], r["op"]) for r in S.changes(spark, d).collect()}
+    assert log == {("u1", "update"), ("u4", "insert")}
+
+
+def test_resolve_plan_uses_partial_aggregate_not_window(spark, tmp_path):
+    d = str(tmp_path / "store")
+    S.ingest(spark, d, _df(spark, [("u%d" % i, "t%d" % i)
+                                   for i in range(50)]), epoch=1)
+    S.ingest(spark, d, _df(spark, [("u1", "new")]), epoch=2)
+    plan = (S.resolve(spark, d)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan
+    assert "Aggregate" in plan                 # max_by groupBy path
+
+
+def test_changes_raises_after_compaction(spark, tmp_path):
+    d = str(tmp_path / "store")
+    S.ingest(spark, d, _df(spark, [("u1", "a")]), epoch=1)
+    S.compact(spark, d)
+    with pytest.raises(ValueError, match="compaction folds"):
+        S.changes(spark, d)
+
+
+def test_multi_content_cols_change_detection(spark, tmp_path):
+    d = str(tmp_path / "store")
+    df1 = spark.createDataFrame([("u1", "t", "en")],
+                                ["url", "text", "lang"])
+    df2 = spark.createDataFrame([("u1", "t", "de")],
+                                ["url", "text", "lang"])
+    S.ingest(spark, d, df1, epoch=1, content_cols=("text", "lang"))
+    r = S.ingest(spark, d, df2, epoch=2, content_cols=("text", "lang"))
+    assert r["updated"] == 1                   # lang change detected
+    got = {x["url"]: x["lang"]
+           for x in S.resolve(spark, d).select("url", "lang").collect()}
+    assert got == {"u1": "de"}
