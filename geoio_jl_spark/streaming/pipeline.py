@@ -419,3 +419,33 @@ def rollup_tiles(spark, store_path: str, max_zoom: int,
     # fold implementation, not a drifting copy (review finding)
     return tile_pyramid(base, "tx", "ty", max_zoom=max_zoom,
                         min_zoom=min_zoom, base_tile=1, weight_col="n")
+
+
+def stream_ingest(stream: DataFrame, store_dir: str,
+                  key_col: str = "url",
+                  content_cols: tuple[str, ...] = ("text",),
+                  checkpoint: str | None = None):
+    """Continuous crawl ingestion: every micro-batch upserts into the
+    log-structured corpus store (plans/store.py) with epoch = the
+    Structured Streaming batch id.
+
+    Exactly-once effect from at-least-once delivery: foreachBatch may
+    re-run a batch after a failure, but ``store.ingest`` skips an epoch
+    already in the manifest, so the retry is a no-op — the same
+    idempotence contract as the minhash history store above, enforced
+    by the store itself instead of path conventions.  Batch ids are
+    monotonic per checkpoint, matching the store's epoch-must-advance
+    rule; ingesting into one store from multiple queries (or after
+    dropping the checkpoint) is rejected by that rule rather than
+    silently interleaving."""
+    from geoio_jl_spark.plans import store as _store
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        _store.ingest(batch.sparkSession, store_dir, batch,
+                      epoch=int(epoch), key_col=key_col,
+                      content_cols=content_cols)
+
+    writer = stream.writeStream.foreachBatch(process)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

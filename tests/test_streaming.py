@@ -344,3 +344,47 @@ def test_stitch_merges_nested_partials(spark):
     assert got[0]["session_start_us"] == 0
     assert got[0]["session_end_us"] == 11_600_000_000
     assert got[0]["n_events"] == 8
+
+
+def test_stream_ingest_upserts_store(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1) upsert into the corpus
+    store; re-crawled-unchanged urls write no delta rows, a changed url
+    updates, resolve equals the batch ground truth."""
+    import os
+
+    from geoio_jl_spark.plans import store as S
+    from geoio_jl_spark.streaming.pipeline import stream_ingest
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    b1 = pd.DataFrame({"url": ["u1", "u2", "u3"],
+                       "text": ["a", "b", "c"]})
+    b2 = pd.DataFrame({"url": ["u2", "u3", "u4"],
+                       "text": ["b", "C2", "d"]})
+    spark.createDataFrame(b1).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(b2).coalesce(1).write.parquet(str(src / "f2"))
+    # the file source orders batches by modification time: pin mtimes so
+    # f1 strictly precedes f2 (same-second writes would tie)
+    import time as _t
+    now = _t.time()
+    for d, ts in (("f1", now - 60), ("f2", now)):
+        for f in os.listdir(str(src / d)):
+            os.utime(os.path.join(str(src / d), f), (ts, ts))
+    schema = spark.read.parquet(str(src / "f1")).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*"))
+    st = str(tmp_path / "store")
+    q = (stream_ingest(stream, st,
+                       checkpoint=str(tmp_path / "ckpt_ingest"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    man = S.read_manifest(st)
+    assert len(man["epochs"]) == 2
+    total_inserted = sum(c["inserted"] for c in man["counts"].values())
+    total_updated = sum(c["updated"] for c in man["counts"].values())
+    assert total_inserted == 4                 # u1 u2 u3 u4 once each
+    assert total_updated == 1                  # u3 changed
+    got = {r["url"]: r["text"]
+           for r in S.resolve(spark, st).select("url", "text").collect()}
+    assert got == {"u1": "a", "u2": "b", "u3": "C2", "u4": "d"}
