@@ -193,3 +193,90 @@ def warp_to_crs(src_values: DataFrame, src_spec: GridSpec,
     for c in value_cols:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(float("nan"))))
     return out.drop("_si", "_sj")
+
+
+def focal_stats(values: DataFrame, i_col: str = "i", j_col: str = "j",
+                v_col: str = "v") -> DataFrame:
+    """3x3 focal mean/min/max as a SCATTER stencil: every cell emits its
+    value to the 9 targets it neighbors (explode over a literal offset
+    array — pure built-ins), then ONE groupBy on the target key
+    aggregates.  No window over a global order, no per-row Python; the
+    single shuffle is on (i, j), which AQE coalesces like any key agg.
+    Border cells (fewer than 9 contributions) are dropped — the
+    interior-only contract keeps semantics exact at tile seams: at
+    100 TB the grid arrives tiled, and a 1-cell halo exchange is this
+    same scatter restricted to tile borders."""
+    offs = F.array(*[
+        F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+        for di in (-1, 0, 1) for dj in (-1, 0, 1)])
+    scattered = (values
+                 .select(F.explode(offs).alias("_o"), i_col, j_col, v_col)
+                 .select((F.col(i_col) - F.col("_o.di")).alias("ti"),
+                         (F.col(j_col) - F.col("_o.dj")).alias("tj"),
+                         F.col(v_col).alias("v")))
+    return (scattered
+            .groupBy("ti", "tj")
+            .agg(F.count("*").alias("_n"),
+                 F.avg("v").alias("focal_mean"),
+                 F.min("v").alias("focal_min"),
+                 F.max("v").alias("focal_max"))
+            .filter(F.col("_n") == 9)
+            .select(F.col("ti").alias(i_col), F.col("tj").alias(j_col),
+                    "focal_mean", "focal_min", "focal_max"))
+
+
+def slope_hillshade(values: DataFrame, cellsize: float,
+                    i_col: str = "i", j_col: str = "j", v_col: str = "v",
+                    azimuth_deg: float = 315.0,
+                    altitude_deg: float = 45.0,
+                    z_factor: float = 1.0) -> DataFrame:
+    """Horn-method slope + ESRI-formula hillshade over an (i, j, v)
+    grid table — the classic DEM map-algebra pair, as the same
+    one-shuffle scatter stencil as :func:`focal_stats`.
+
+    Horn 1981 gradients (i = x column index, j = y row index):
+      dz/dx = ((ne+2e+se) - (nw+2w+sw)) / (8*cellsize)
+      dz/dy = ((sw+2s+se) - (nw+2n+ne)) / (8*cellsize)
+    Both are LINEAR in the neighbor values, so each source cell scatters
+    ``v * wx`` and ``v * wy`` to its 9 targets and the groupBy sums —
+    gradients fall out of the same single aggregation that counts
+    contributions (interior-only, as focal_stats).  Slope/aspect/
+    hillshade are then row-local trig on the two sums."""
+    import math
+    wx = {(-1, -1): -1, (-1, 0): -2, (-1, 1): -1,
+          (1, -1): 1, (1, 0): 2, (1, 1): 1}
+    wy = {(-1, -1): -1, (0, -1): -2, (1, -1): -1,
+          (-1, 1): 1, (0, 1): 2, (1, 1): 1}
+    offs = F.array(*[
+        F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"),
+                 F.lit(float(wx.get((di, dj), 0))).alias("wx"),
+                 F.lit(float(wy.get((di, dj), 0))).alias("wy"))
+        for di in (-1, 0, 1) for dj in (-1, 0, 1)])
+    scattered = (values
+                 .select(F.explode(offs).alias("_o"), i_col, j_col, v_col)
+                 .select((F.col(i_col) - F.col("_o.di")).alias("ti"),
+                         (F.col(j_col) - F.col("_o.dj")).alias("tj"),
+                         (F.col(v_col) * F.col("_o.wx")).alias("cx"),
+                         (F.col(v_col) * F.col("_o.wy")).alias("cy")))
+    sums = (scattered
+            .groupBy("ti", "tj")
+            .agg(F.count("*").alias("_n"),
+                 F.sum("cx").alias("_sx"),
+                 F.sum("cy").alias("_sy"))
+            .filter(F.col("_n") == 9))
+    dzdx = F.col("_sx") / (8.0 * cellsize)
+    dzdy = F.col("_sy") / (8.0 * cellsize)
+    slope = F.atan(F.lit(float(z_factor))
+                   * F.sqrt(dzdx * dzdx + dzdy * dzdy))
+    zen = math.radians(90.0 - altitude_deg)
+    az = math.radians(360.0 - azimuth_deg + 90.0)
+    aspect = F.atan2(dzdy, -dzdx)
+    hs = (F.lit(255.0)
+          * (F.lit(math.cos(zen)) * F.cos(slope)
+             + F.lit(math.sin(zen)) * F.sin(slope)
+             * F.cos(F.lit(az) - aspect)))
+    return (sums.select(F.col("ti").alias(i_col),
+                        F.col("tj").alias(j_col),
+                        dzdx.alias("dzdx"), dzdy.alias("dzdy"),
+                        F.degrees(slope).alias("slope_deg"),
+                        F.greatest(F.lit(0.0), hs).alias("hillshade")))

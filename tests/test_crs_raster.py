@@ -196,3 +196,92 @@ def test_f9_corpus_resolution():
         "kind": "projected", "axis": "xy", "unit": "m",
         "projection": "utm", "zone": 45, "south": True}
     assert C.crs_info("FOO:1")["kind"] == "cartesian"
+
+
+# ---------------------------------------------------------------------------
+# round-6 focal map algebra: scatter-stencil focal stats + Horn slope /
+# ESRI hillshade, differentially tested against direct numpy stencils
+# ---------------------------------------------------------------------------
+
+def _grid_df(spark, z):
+    ny, nx = z.shape
+    rows = [(i, j, float(z[j, i])) for j in range(ny) for i in range(nx)]
+    return spark.createDataFrame(rows, ["i", "j", "v"])
+
+
+def test_focal_stats_match_numpy(spark):
+    import numpy as np
+
+    from geoio_jl_spark.operators.raster import focal_stats
+
+    rng = np.random.default_rng(31)
+    z = rng.normal(100, 10, (9, 11))          # (ny, nx), v[j, i]
+    out = {(r["i"], r["j"]): (r["focal_mean"], r["focal_min"],
+                              r["focal_max"])
+           for r in focal_stats(_grid_df(spark, z)).collect()}
+    ny, nx = z.shape
+    assert len(out) == (nx - 2) * (ny - 2)    # interior only
+    for j in range(1, ny - 1):
+        for i in range(1, nx - 1):
+            w = z[j - 1:j + 2, i - 1:i + 2]
+            m, mn, mx = out[(i, j)]
+            assert abs(m - w.mean()) < 1e-9
+            assert mn == w.min() and mx == w.max()
+
+
+def test_slope_hillshade_match_numpy_horn(spark):
+    import numpy as np
+
+    from geoio_jl_spark.operators.raster import slope_hillshade
+
+    rng = np.random.default_rng(32)
+    z = rng.normal(0, 5, (8, 10))
+    cell = 30.0
+    got = {(r["i"], r["j"]): r
+           for r in slope_hillshade(_grid_df(spark, z), cell).collect()}
+    ny, nx = z.shape
+    zen, az = np.radians(45.0), np.radians(360.0 - 315.0 + 90.0)
+    for j in range(1, ny - 1):
+        for i in range(1, nx - 1):
+            nwv, nv, nev = z[j - 1, i - 1], z[j - 1, i], z[j - 1, i + 1]
+            wv, ev = z[j, i - 1], z[j, i + 1]
+            swv, sv, sev = z[j + 1, i - 1], z[j + 1, i], z[j + 1, i + 1]
+            dzdx = ((nev + 2 * ev + sev) - (nwv + 2 * wv + swv)) / (8 * cell)
+            dzdy = ((swv + 2 * sv + sev) - (nwv + 2 * nv + nev)) / (8 * cell)
+            slope = np.arctan(np.hypot(dzdx, dzdy))
+            aspect = np.arctan2(dzdy, -dzdx)
+            hs = max(0.0, 255.0 * (np.cos(zen) * np.cos(slope)
+                                   + np.sin(zen) * np.sin(slope)
+                                   * np.cos(az - aspect)))
+            r = got[(i, j)]
+            assert abs(r["dzdx"] - dzdx) < 1e-12
+            assert abs(r["dzdy"] - dzdy) < 1e-12
+            assert abs(r["slope_deg"] - np.degrees(slope)) < 1e-9
+            assert abs(r["hillshade"] - hs) < 1e-7
+
+
+def test_slope_flat_plane_and_known_incline(spark):
+    import numpy as np
+
+    from geoio_jl_spark.operators.raster import slope_hillshade
+
+    flat = np.full((5, 5), 42.0)
+    rows = slope_hillshade(_grid_df(spark, flat), 10.0).collect()
+    assert all(abs(r["slope_deg"]) < 1e-12 for r in rows)
+    # 45-degree incline: z = x * cellsize
+    cell = 7.0
+    inc = np.tile(np.arange(6) * cell, (5, 1))
+    rows = slope_hillshade(_grid_df(spark, inc), cell).collect()
+    assert all(abs(r["slope_deg"] - 45.0) < 1e-9 for r in rows)
+
+
+def test_focal_single_shuffle_plan(spark):
+    import numpy as np
+
+    from geoio_jl_spark.operators.raster import focal_stats
+
+    z = np.ones((6, 6))
+    plan = (focal_stats(_grid_df(spark, z))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 2         # key agg (+AQE read)
