@@ -104,3 +104,45 @@ def affine_from_grid(v11: np.ndarray, v21: np.ndarray, v12: np.ndarray):
     a1 = np.asarray(v21, dtype=np.float64) - b
     a2 = np.asarray(v12, dtype=np.float64) - b
     return np.column_stack([a1, a2]), b
+
+
+def clip_ring_rect(ring: np.ndarray, minx: float, miny: float,
+                   maxx: float, maxy: float) -> np.ndarray:
+    """Sutherland-Hodgman clip of one polygon ring against an axis-
+    aligned rectangle — four half-plane passes, vectorizable per edge
+    but written as the textbook vertex walk (rings are short; the
+    DataFrame layer batches across rings, not within one).
+
+    Input/output rings are open (first vertex NOT repeated); an empty
+    (0, 2) array means the ring lies fully outside.  Convex clip window
+    guarantees a single output ring."""
+    out = np.asarray(ring, np.float64)
+    if len(out) and (out[0] == out[-1]).all():
+        out = out[:-1]
+    for axis, bound, keep_ge in ((0, minx, True), (0, maxx, False),
+                                 (1, miny, True), (1, maxy, False)):
+        if len(out) == 0:
+            break
+        pts = out
+        nxt = np.roll(pts, -1, axis=0)
+        def inside(p):
+            return p[axis] >= bound if keep_ge else p[axis] <= bound
+        res = []
+        for p, q in zip(pts, nxt):
+            pin, qin = inside(p), inside(q)
+            if pin:
+                res.append(p)
+            if pin != qin:                    # edge crosses the boundary
+                t = (bound - p[axis]) / (q[axis] - p[axis])
+                res.append(p + t * (q - p))
+        out = np.array(res, np.float64).reshape(-1, 2)
+    return out
+
+
+def ring_area(ring: np.ndarray) -> float:
+    """Signed shoelace area of an open ring (positive = CCW)."""
+    r = np.asarray(ring, np.float64)
+    if len(r) < 3:
+        return 0.0
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))

@@ -394,3 +394,71 @@ def save_mvt_dir(tiles: DataFrame, path: str,
         with open(os.path.join(d, f"{row['ty']}.mvt"), "wb") as fh:
             fh.write(bytes(row["mvt"]))
     return n
+
+
+def polygons_to_mvt(polys: DataFrame, zoom: int,
+                    layer: str = "polygons",
+                    id_col: str = "poly_id", ring_col: str = "ring",
+                    base_tile: int = 64, extent: int = 4096,
+                    prop_cols: list[str] | None = None) -> DataFrame:
+    """Polygon table -> (zoom, tx, ty, mvt) tile archive with per-tile
+    Sutherland-Hodgman clipping.
+
+    ``ring_col``: array<struct<x:double, y:double>> outer ring (open).
+    Tile COVER is pure built-ins (bbox -> sequence+explode, the same
+    shape as the spatial join's polygon tiling — each polygon fans out
+    only to tiles its bbox touches); the exact rectangle clip runs in
+    the per-tile Arrow batch, so clip cost is O(candidate pairs), and a
+    polygon spanning many tiles never ships whole-corpus anywhere.
+    Clipped-away candidates (bbox touched, geometry didn't) drop out."""
+    from geoio_jl_spark.functions.geomkernels import clip_ring_rect
+    from geoio_jl_spark.shipping import ensure_pyfiles
+    ensure_pyfiles(polys.sparkSession)
+    props = list(prop_cols or [])
+    ts = float(base_tile)
+    xs = F.transform(F.col(ring_col), lambda p: p.getField("x"))
+    ys = F.transform(F.col(ring_col), lambda p: p.getField("y"))
+    d = (polys
+         .withColumn("_tx0", F.floor(F.array_min(xs) / ts).cast("bigint"))
+         .withColumn("_tx1", F.floor(F.array_max(xs) / ts).cast("bigint"))
+         .withColumn("_ty0", F.floor(F.array_min(ys) / ts).cast("bigint"))
+         .withColumn("_ty1", F.floor(F.array_max(ys) / ts).cast("bigint"))
+         .withColumn("tx", F.explode(F.sequence("_tx0", "_tx1"))))
+    d = (d.withColumn("ty", F.explode(F.sequence("_ty0", "_ty1")))
+         .select("tx", "ty", id_col, ring_col, *props))
+
+    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(pdf["tx"].iloc[0]), int(pdf["ty"].iloc[0])
+        x0, y0 = tx * ts, ty * ts
+        feats = []
+        for row in pdf.itertuples(index=False):
+            ring = np.array([(p["x"], p["y"]) for p in getattr(row, ring_col)],
+                            np.float64)
+            clipped = clip_ring_rect(ring, x0, y0, x0 + ts, y0 + ts)
+            if len(clipped) < 3:
+                continue                      # bbox touched, polygon didn't
+            local = np.floor((clipped - (x0, y0)) * extent / ts + 0.5)
+            local = np.clip(local, 0, extent).astype(int)
+            # drop consecutive duplicates introduced by snapping
+            keep = np.ones(len(local), bool)
+            keep[1:] = (local[1:] != local[:-1]).any(axis=1)
+            local = local[keep]
+            if len(local) >= 2 and (local[0] == local[-1]).all():
+                local = local[:-1]
+            if len(local) < 3:
+                continue
+            feats.append({
+                "id": int(getattr(row, id_col)), "type": POLYGON,
+                "parts": [[(int(x), int(y)) for x, y in local]],
+                "props": {c: getattr(row, c) for c in props
+                          if getattr(row, c) is not None},
+            })
+        if not feats:
+            return pd.DataFrame(
+                columns=["zoom", "tx", "ty", "mvt"]).astype(
+                {"zoom": "int32", "tx": "int64", "ty": "int64"})
+        blob = encode_tile({layer: {"extent": extent, "features": feats}})
+        return pd.DataFrame([{"zoom": zoom, "tx": tx, "ty": ty,
+                              "mvt": blob}])
+
+    return d.groupBy("tx", "ty").applyInPandas(_encode, MVT_SCHEMA)

@@ -141,3 +141,74 @@ def test_save_mvt_dir_guard(spark):
     tiles = points_to_mvt(df, "x", "y", zoom=1, base_tile=64)
     with pytest.raises(ValueError, match="exceed the driver-export guard"):
         save_mvt_dir(tiles, "/tmp/never", max_tiles=2)
+
+# ---------------------------------------------------------------------------
+# polygon layers: Sutherland-Hodgman rect clip + per-tile polygon encode
+# ---------------------------------------------------------------------------
+
+def test_clip_ring_identity_and_outside():
+    from geoio_jl_spark.functions.geomkernels import clip_ring_rect
+    sq = np.array([(2.0, 2.0), (8.0, 2.0), (8.0, 8.0), (2.0, 8.0)])
+    np.testing.assert_array_equal(
+        clip_ring_rect(sq, 0, 0, 10, 10), sq)            # fully inside
+    assert len(clip_ring_rect(sq, 20, 20, 30, 30)) == 0  # fully outside
+
+
+def test_clip_ring_known_intersection():
+    from geoio_jl_spark.functions.geomkernels import (clip_ring_rect,
+                                                      ring_area)
+    # unit-ish triangle clipped to the left half
+    tri = np.array([(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)])
+    out = clip_ring_rect(tri, 0, 0, 5, 10)
+    # clipped shape: trapezoid (0,0) (5,0) (5,5) (0,10) — area 37.5
+    assert abs(abs(ring_area(out)) - 37.5) < 1e-9
+    # area never grows, and clipping by a superset is the identity
+    assert abs(ring_area(clip_ring_rect(tri, -1, -1, 11, 11))) == \
+        abs(ring_area(tri))
+
+
+def test_polygons_to_mvt_spans_tiles(spark):
+    """A 100x40 rectangle over a 64-unit tile grid lands in tiles
+    (0,0) and (1,0); per-tile clipped areas (decoded from the MVT
+    geometry, shoelace in tile units) must sum to the original area."""
+    from geoio_jl_spark.functions.geomkernels import ring_area
+    from geoio_jl_spark.sources.mvt import decode_tile, polygons_to_mvt
+
+    ring = [(10.0, 10.0), (110.0, 10.0), (110.0, 50.0), (10.0, 50.0)]
+    df = spark.createDataFrame(
+        [(7, [{"x": x, "y": y} for x, y in ring], "parkland")],
+        "poly_id bigint, ring array<struct<x:double,y:double>>, kind string")
+    tiles = {(r["tx"], r["ty"]): bytes(r["mvt"])
+             for r in polygons_to_mvt(
+                 df, zoom=3, base_tile=64, extent=4096,
+                 prop_cols=["kind"]).collect()}
+    assert set(tiles) == {(0, 0), (1, 0)}
+    scale = 64.0 / 4096.0                     # tile units -> world units
+    total = 0.0
+    for (tx, ty), blob in tiles.items():
+        layer = decode_tile(blob)["polygons"]
+        (feat,) = layer["features"]
+        assert feat["id"] == 7
+        assert feat["props"] == {"kind": "parkland"}
+        a = abs(ring_area(np.array(feat["parts"][0], float)))
+        total += a * scale * scale
+    assert abs(total - 100.0 * 40.0) < 2.0    # snapping tolerance
+
+
+def test_polygons_to_mvt_drops_bbox_only_tiles(spark):
+    """A thin diagonal triangle whose bbox covers 4 tiles but whose
+    geometry misses one: the untouched tile must produce NO feature."""
+    from geoio_jl_spark.sources.mvt import decode_tile, polygons_to_mvt
+
+    # triangle hugging the diagonal of a 2x2 tile block (tile=64):
+    # misses the (1,0) tile corner region entirely? use a sliver along
+    # the lower-left -> upper-right diagonal but nudged to skip (1,0)
+    ring = [(5.0, 5.0), (10.0, 5.0), (123.0, 123.0)]
+    df = spark.createDataFrame(
+        [(1, [{"x": x, "y": y} for x, y in ring])],
+        "poly_id bigint, ring array<struct<x:double,y:double>>")
+    tiles = {(r["tx"], r["ty"]) for r in
+             polygons_to_mvt(df, zoom=1, base_tile=64).collect()}
+    # bbox covers (0,0) (1,0) (0,1) (1,1); the sliver never enters (0,1)
+    assert (0, 0) in tiles and (1, 1) in tiles
+    assert (0, 1) not in tiles
