@@ -172,9 +172,12 @@ def _decode_real(buf: bytes) -> np.ndarray:
     elif buf[:4] == b"GIF8":
         from geoio_jl_spark.sources import gif
         a = gif.decode(buf)
+    elif buf[:2] == b"BM":
+        from geoio_jl_spark.sources import bmp
+        a = bmp.decode(buf)
     else:
         raise NotImplementedError(
-            "unrecognized media container (PNG/JPEG/GIF decode from "
+            "unrecognized media container (PNG/JPEG/GIF/BMP decode from "
             "scratch; inter-frame video would need libav, absent from "
             "this container)")
     return a if a.ndim == 3 else a[:, :, None]
