@@ -146,3 +146,49 @@ def ring_area(ring: np.ndarray) -> float:
         return 0.0
     x, y = r[:, 0], r[:, 1]
     return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def clip_line_rect(line: np.ndarray, minx: float, miny: float,
+                   maxx: float, maxy: float) -> list[np.ndarray]:
+    """Clip a polyline against an axis-aligned rectangle — Liang-Barsky
+    per segment, with consecutive surviving pieces stitched back into
+    continuous parts.  Returns a list of (m, 2) arrays (m >= 2); a line
+    may leave and re-enter the rectangle, so several parts can come
+    back (the MVT multi-linestring case)."""
+    pts = np.asarray(line, np.float64)
+    parts: list[list[np.ndarray]] = []
+    cur: list[np.ndarray] = []
+    for k in range(len(pts) - 1):
+        p, q = pts[k], pts[k + 1]
+        d = q - p
+        t0, t1 = 0.0, 1.0
+        ok = True
+        for dim, lo, hi in ((0, minx, maxx), (1, miny, maxy)):
+            if d[dim] == 0.0:
+                if p[dim] < lo or p[dim] > hi:
+                    ok = False
+                    break
+                continue
+            ta = (lo - p[dim]) / d[dim]
+            tb = (hi - p[dim]) / d[dim]
+            if ta > tb:
+                ta, tb = tb, ta
+            t0, t1 = max(t0, ta), min(t1, tb)
+            if t0 > t1:
+                ok = False
+                break
+        if not ok:
+            if len(cur) >= 2:
+                parts.append(cur)
+            cur = []
+            continue
+        a, b = p + t0 * d, p + t1 * d
+        if cur and np.allclose(cur[-1], a, atol=1e-9):
+            cur.append(b)                     # continues the open part
+        else:
+            if len(cur) >= 2:
+                parts.append(cur)
+            cur = [a, b]
+    if len(cur) >= 2:
+        parts.append(cur)
+    return [np.array(part) for part in parts]

@@ -462,3 +462,69 @@ def polygons_to_mvt(polys: DataFrame, zoom: int,
                               "mvt": blob}])
 
     return d.groupBy("tx", "ty").applyInPandas(_encode, MVT_SCHEMA)
+
+
+def lines_to_mvt(lines: DataFrame, zoom: int,
+                 layer: str = "lines",
+                 id_col: str = "line_id", path_col: str = "path",
+                 base_tile: int = 64, extent: int = 4096,
+                 prop_cols: list[str] | None = None) -> DataFrame:
+    """Polyline table -> (zoom, tx, ty, mvt) tile archive with per-tile
+    Liang-Barsky clipping (a line leaving and re-entering a tile
+    becomes a multi-linestring feature).  Same fan-out shape as
+    polygons_to_mvt: bbox cover via sequence+explode, exact clip in the
+    per-tile Arrow batch."""
+    from geoio_jl_spark.functions.geomkernels import clip_line_rect
+    from geoio_jl_spark.shipping import ensure_pyfiles
+    ensure_pyfiles(lines.sparkSession)
+    props = list(prop_cols or [])
+    ts = float(base_tile)
+    xs = F.transform(F.col(path_col), lambda p: p.getField("x"))
+    ys = F.transform(F.col(path_col), lambda p: p.getField("y"))
+    d = (lines
+         .withColumn("_tx0", F.floor(F.array_min(xs) / ts).cast("bigint"))
+         .withColumn("_tx1", F.floor(F.array_max(xs) / ts).cast("bigint"))
+         .withColumn("_ty0", F.floor(F.array_min(ys) / ts).cast("bigint"))
+         .withColumn("_ty1", F.floor(F.array_max(ys) / ts).cast("bigint"))
+         .withColumn("tx", F.explode(F.sequence("_tx0", "_tx1"))))
+    d = (d.withColumn("ty", F.explode(F.sequence("_ty0", "_ty1")))
+         .select("tx", "ty", id_col, path_col, *props))
+
+    def _snap(parts, x0, y0):
+        out = []
+        for part in parts:
+            local = np.floor((part - (x0, y0)) * extent / ts + 0.5)
+            local = np.clip(local, 0, extent).astype(int)
+            keep = np.ones(len(local), bool)
+            keep[1:] = (local[1:] != local[:-1]).any(axis=1)
+            local = local[keep]
+            if len(local) >= 2:
+                out.append([(int(x), int(y)) for x, y in local])
+        return out
+
+    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(pdf["tx"].iloc[0]), int(pdf["ty"].iloc[0])
+        x0, y0 = tx * ts, ty * ts
+        feats = []
+        for row in pdf.itertuples(index=False):
+            path = np.array([(p["x"], p["y"])
+                             for p in getattr(row, path_col)], np.float64)
+            parts = _snap(clip_line_rect(path, x0, y0, x0 + ts, y0 + ts),
+                          x0, y0)
+            if not parts:
+                continue
+            feats.append({
+                "id": int(getattr(row, id_col)), "type": LINESTRING,
+                "parts": parts,
+                "props": {c: getattr(row, c) for c in props
+                          if getattr(row, c) is not None},
+            })
+        if not feats:
+            return pd.DataFrame(
+                columns=["zoom", "tx", "ty", "mvt"]).astype(
+                {"zoom": "int32", "tx": "int64", "ty": "int64"})
+        blob = encode_tile({layer: {"extent": extent, "features": feats}})
+        return pd.DataFrame([{"zoom": zoom, "tx": tx, "ty": ty,
+                              "mvt": blob}])
+
+    return d.groupBy("tx", "ty").applyInPandas(_encode, MVT_SCHEMA)

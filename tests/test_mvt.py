@@ -212,3 +212,40 @@ def test_polygons_to_mvt_drops_bbox_only_tiles(spark):
     # bbox covers (0,0) (1,0) (0,1) (1,1); the sliver never enters (0,1)
     assert (0, 0) in tiles and (1, 1) in tiles
     assert (0, 1) not in tiles
+
+
+def test_clip_line_split_and_reenter():
+    from geoio_jl_spark.functions.geomkernels import clip_line_rect
+    # W-shaped path that dips below the rect twice
+    line = np.array([(0.0, 5.0), (2.0, -5.0), (4.0, 5.0),
+                     (6.0, -5.0), (8.0, 5.0)])
+    parts = clip_line_rect(line, 0, 0, 10, 10)
+    assert len(parts) == 3                    # enter, middle, exit runs
+    for part in parts:
+        assert (part[:, 1] >= -1e-9).all()
+    # continuous path fully inside returns one part equal to the input
+    inside = np.array([(1.0, 1.0), (2.0, 2.0), (3.0, 1.0)])
+    (single,) = clip_line_rect(inside, 0, 0, 10, 10)
+    np.testing.assert_allclose(single, inside)
+
+
+def test_lines_to_mvt_multipart(spark):
+    from geoio_jl_spark.sources.mvt import decode_tile, lines_to_mvt
+
+    # diagonal road crossing two tiles (tile=64): split at x=64
+    path = [(10.0, 10.0), (120.0, 55.0)]
+    df = spark.createDataFrame(
+        [(3, [{"x": x, "y": y} for x, y in path], "motorway")],
+        "line_id bigint, path array<struct<x:double,y:double>>, road string")
+    tiles = {(r["tx"], r["ty"]): bytes(r["mvt"])
+             for r in lines_to_mvt(df, zoom=4, base_tile=64,
+                                   prop_cols=["road"]).collect()}
+    assert set(tiles) == {(0, 0), (1, 0)}
+    for key, blob in tiles.items():
+        (feat,) = decode_tile(blob)["lines"]["features"]
+        assert feat["id"] == 3 and feat["props"] == {"road": "motorway"}
+        assert len(feat["parts"]) == 1
+        assert len(feat["parts"][0]) == 2
+    # tile (0,0): segment from (10,10) to the x=64 boundary
+    p00 = decode_tile(tiles[(0, 0)])["lines"]["features"][0]["parts"][0]
+    assert p00[-1][0] == 4096                  # exits at the right edge
