@@ -111,12 +111,19 @@ def encode_png(arr: np.ndarray) -> bytes:
 def read(spark: SparkSession, path: str) -> DataFrame:
     """→ (cell_id, i, j, x, y, r, g, b[, a]) with the reference's
     translate+rotate orientation (img.jl:22-23). Dispatches on magic:
-    PNG or baseline JPEG (reference IMGEXTS, GeoIO.jl:66)."""
+    PNG, JPEG (baseline/progressive), GIF, or BMP (reference IMGEXTS,
+    GeoIO.jl:66 — GeoIO routes every raster image through ImageIO)."""
     with open(path, "rb") as f:
         buf = f.read()
     if buf[:2] == b"\xff\xd8":
         from geoio_jl_spark.sources import jpeg
         arr = jpeg.decode(buf)
+    elif buf[:4] == b"GIF8":
+        from geoio_jl_spark.sources import gif
+        arr = gif.decode(buf)
+    elif buf[:2] == b"BM":
+        from geoio_jl_spark.sources import bmp
+        arr = bmp.decode(buf)
     else:
         arr = decode_png(buf)
     h, w, ch = arr.shape
