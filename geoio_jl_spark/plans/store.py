@@ -59,6 +59,23 @@ def _delta_dir(store_dir: str, epoch: int) -> str:
     return os.path.join(store_dir, "delta", f"epoch={epoch}")
 
 
+def _base_dir(store_dir: str) -> str:
+    """The committed base, surviving a compaction crash: prefer
+    ``base``; fall back to ``base_old`` (a crash between compact's two
+    renames leaves only the retired copy).  NEVER silently skip a
+    missing base — that would resolve to delta-only rows and read as
+    silent data loss."""
+    base = os.path.join(store_dir, "base")
+    if os.path.exists(base):
+        return base
+    old = os.path.join(store_dir, "base_old")
+    if os.path.exists(old):
+        return old
+    raise ValueError(
+        f"store at {store_dir} declares a base epoch but has no "
+        "base/ or base_old/ directory (corrupt or mid-crash state)")
+
+
 def resolve(spark: SparkSession, store_dir: str,
             key_col: str = "url") -> DataFrame:
     """Latest row per key across base + all deltas.
@@ -68,9 +85,8 @@ def resolve(spark: SparkSession, store_dir: str,
     required at every read, priced as a single shuffle on the key."""
     man = read_manifest(store_dir)
     parts = []
-    base = os.path.join(store_dir, "base")
-    if man["base_epoch"] is not None and os.path.exists(base):
-        parts.append(spark.read.parquet(base))
+    if man["base_epoch"] is not None:
+        parts.append(spark.read.parquet(_base_dir(store_dir)))
     for e in man["epochs"]:
         if man["base_epoch"] is None or e > man["base_epoch"]:
             parts.append(spark.read.parquet(_delta_dir(store_dir, e)))
@@ -154,6 +170,13 @@ def compact(spark: SparkSession, store_dir: str,
     """Fold base + deltas into a new base (one resolve + one write);
     the delta tail resets.  Run when the tail makes resolve's union
     wide — the classic merge-on-read maintenance trade."""
+    import shutil
+    base = os.path.join(store_dir, "base")
+    base_old = os.path.join(store_dir, "base_old")
+    # recover a crash between the two renames of a previous compact:
+    # restore the retired base before folding again
+    if not os.path.exists(base) and os.path.exists(base_old):
+        os.rename(base_old, base)
     man = read_manifest(store_dir)
     if not man["epochs"]:
         return {"compacted": False}
@@ -161,21 +184,29 @@ def compact(spark: SparkSession, store_dir: str,
     new_base_epoch = max(man["epochs"])
     tmp = os.path.join(store_dir, "base_new")
     resolved.write.mode("overwrite").parquet(tmp)
-    base = os.path.join(store_dir, "base")
-    # swap: write new base, retire deltas (manifest flips last — a crash
-    # before the manifest write leaves the old manifest + both dirs, and
-    # re-running compact redoes the fold idempotently)
-    import shutil
+    # commit order (each step leaves a recoverable state):
+    #   1. base -> base_old            (reader falls back to base_old)
+    #   2. base_new -> base            (new base live, manifest stale:
+    #                                   resolve re-reads deltas on top of
+    #                                   the folded base — max_by per key
+    #                                   is idempotent, same answer)
+    #   3. manifest flips              (epochs emptied atomically)
+    #   4. base_old + deltas removed   (garbage; ignored either way)
+    if os.path.exists(base_old):
+        shutil.rmtree(base_old)
     if os.path.exists(base):
-        shutil.rmtree(base)
-    os.replace(tmp, base)
-    for e in man["epochs"]:
+        os.rename(base, base_old)
+    os.rename(tmp, base)
+    man["base_epoch"] = new_base_epoch
+    old_epochs = man["epochs"]
+    man["epochs"] = []
+    _write_manifest(store_dir, man)
+    if os.path.exists(base_old):
+        shutil.rmtree(base_old)
+    for e in old_epochs:
         d = _delta_dir(store_dir, e)
         if os.path.exists(d):
             shutil.rmtree(d)
-    man["base_epoch"] = new_base_epoch
-    man["epochs"] = []
-    _write_manifest(store_dir, man)
     return {"compacted": True, "base_epoch": new_base_epoch}
 
 

@@ -122,3 +122,55 @@ def test_multi_content_cols_change_detection(spark, tmp_path):
     got = {x["url"]: x["lang"]
            for x in S.resolve(spark, d).select("url", "lang").collect()}
     assert got == {"u1": "de"}
+
+def test_compact_crash_between_renames_recovers(spark, tmp_path):
+    """Simulate a crash after base -> base_old but before base_new ->
+    base: reads fall back to the retired base, and re-running compact
+    restores + refolds."""
+    import os
+
+    d = str(tmp_path / "store")
+    S.ingest(spark, d, _df(spark, [("u1", "a"), ("u2", "b")]), epoch=1)
+    S.compact(spark, d)                         # gives us a base
+    S.ingest(spark, d, _df(spark, [("u2", "B")]), epoch=2)
+    os.rename(os.path.join(d, "base"), os.path.join(d, "base_old"))
+    # mid-crash read: old base via fallback + the live delta
+    assert _resolved_dict(spark, d) == {"u1": "a", "u2": "B"}
+    out = S.compact(spark, d)                   # recovery + refold
+    assert out["compacted"] and out["base_epoch"] == 2
+    assert _resolved_dict(spark, d) == {"u1": "a", "u2": "B"}
+    assert os.path.exists(os.path.join(d, "base"))
+    assert not os.path.exists(os.path.join(d, "base_old"))
+
+
+def test_compact_crash_before_manifest_is_consistent(spark, tmp_path):
+    """Simulate a crash after the new base went live but before the
+    manifest flipped: stale deltas re-apply onto the folded base —
+    max_by is idempotent, so the view is unchanged."""
+    import os
+    import shutil
+
+    d = str(tmp_path / "store")
+    S.ingest(spark, d, _df(spark, [("u1", "a"), ("u2", "b")]), epoch=1)
+    S.ingest(spark, d, _df(spark, [("u2", "B"), ("u3", "c")]), epoch=2)
+    man_before = S.read_manifest(d)
+    expect = _resolved_dict(spark, d)
+    # hand-build the mid-crash state: folded base live, manifest stale
+    resolved = S.resolve(spark, d)
+    resolved.write.mode("overwrite").parquet(os.path.join(d, "base"))
+    assert S.read_manifest(d) == man_before     # manifest never flipped
+    assert _resolved_dict(spark, d) == expect   # deltas re-apply, same
+    out = S.compact(spark, d)                   # and compact completes
+    assert out["compacted"]
+    assert _resolved_dict(spark, d) == expect
+
+
+def test_resolve_raises_on_missing_base(spark, tmp_path):
+    import shutil
+
+    d = str(tmp_path / "store")
+    S.ingest(spark, d, _df(spark, [("u1", "a")]), epoch=1)
+    S.compact(spark, d)
+    shutil.rmtree(f"{d}/base")
+    with pytest.raises(ValueError, match="no\\s+base"):
+        S.resolve(spark, d).collect()
