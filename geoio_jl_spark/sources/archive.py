@@ -58,6 +58,11 @@ def zip_entries(buf: bytes) -> list[dict]:
     uncomp_size, method}] in directory order."""
     tail = buf[-(22 + 0xFFFF):] if len(buf) > 22 + 0xFFFF else buf
     k = tail.rfind(_EOCD_SIG)
+    # a signature can appear with fewer than the 22 fixed EOCD bytes
+    # left (truncation, or payload bytes that happen to match): keep
+    # searching backwards for a complete record (fuzz-found case)
+    while k >= 0 and len(tail) - k < 22:
+        k = tail.rfind(_EOCD_SIG, 0, k)
     if k < 0:
         raise ValueError("not a ZIP file (no end-of-central-directory)")
     eocd = tail[k:]
@@ -70,9 +75,12 @@ def zip_entries(buf: bytes) -> list[dict]:
     for _ in range(n_total):
         if buf[pos:pos + 4] != _CDIR_SIG:
             raise ValueError("ZIP: corrupt central directory")
-        (method, _t, _d, _crc, comp, uncomp, nlen, elen, clen,
-         _disk, _ia, _ea, lho) = struct.unpack_from("<HHHIIIHHHHHII",
-                                                    buf, pos + 10)
+        try:
+            (method, _t, _d, _crc, comp, uncomp, nlen, elen, clen,
+             _disk, _ia, _ea, lho) = struct.unpack_from(
+                 "<HHHIIIHHHHHII", buf, pos + 10)
+        except struct.error as e:
+            raise ValueError("ZIP: truncated central directory") from e
         name = buf[pos + 46: pos + 46 + nlen].decode("utf-8", "replace")
         out.append({"name": name, "offset": lho, "comp_size": comp,
                     "uncomp_size": uncomp, "method": method})

@@ -243,3 +243,82 @@ def test_mvt_linestring_geometry_roundtrip(parts):
     from geoio_jl_spark.sources import mvt
     enc = mvt.encode_geometry(mvt.LINESTRING, parts)
     assert mvt.decode_geometry(mvt.LINESTRING, enc) == parts
+
+
+@given(st.lists(st.tuples(st.text(st.characters(min_codepoint=97,
+                                                max_codepoint=122),
+                                  min_size=1, max_size=20),
+                          st.binary(max_size=500)),
+                min_size=1, max_size=10),
+       st.booleans())
+def test_zip_roundtrip_property(members, stored):
+    """Our ZIP parser vs stdlib zipfile as the independent writer, over
+    arbitrary names/payloads, both compression methods."""
+    import io
+    import zipfile
+
+    from geoio_jl_spark.sources import archive
+    # zipfile rejects duplicate names with a warning only; dedup for a
+    # well-defined expectation
+    seen, uniq = set(), []
+    for i, (n, d) in enumerate(members):
+        name = f"{n}_{i}"
+        if name not in seen:
+            seen.add(name)
+            uniq.append((name, d))
+    bio = io.BytesIO()
+    comp = zipfile.ZIP_STORED if stored else zipfile.ZIP_DEFLATED
+    with zipfile.ZipFile(bio, "w", compression=comp) as z:
+        for n, d in uniq:
+            z.writestr(n, d)
+    buf = bio.getvalue()
+    entries = archive.zip_entries(buf)
+    assert [e["name"] for e in entries] == [n for n, _ in uniq]
+    for e, (_, d) in zip(entries, uniq):
+        assert archive.zip_member_bytes(buf, e) == d
+
+
+@given(st.binary(max_size=200), st.integers(0, 199))
+def test_zip_truncation_never_hangs(junk, cut):
+    """Truncated/garbage zips raise ValueError (never hang, never
+    struct.error) — feed real archive prefixes and raw junk."""
+    import io
+    import zipfile
+
+    import pytest as _pytest
+
+    from geoio_jl_spark.sources import archive
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w") as z:
+        z.writestr("a.txt", b"payload" * 10)
+    buf = bio.getvalue()[:cut] + junk
+    try:
+        entries = archive.zip_entries(buf)
+        for e in entries:
+            archive.zip_member_bytes(buf, e)
+    except ValueError:
+        pass                                   # named failure is the contract
+
+
+@given(st.lists(st.tuples(st.text(st.characters(min_codepoint=97,
+                                                max_codepoint=122),
+                                  min_size=1, max_size=30),
+                          st.binary(max_size=1200)),
+                min_size=1, max_size=8))
+def test_tar_roundtrip_property(members):
+    import io
+    import tarfile
+
+    from geoio_jl_spark.sources import archive
+    uniq = [(f"{n}_{i}", d) for i, (n, d) in enumerate(members)]
+    bio = io.BytesIO()
+    with tarfile.open(fileobj=bio, mode="w") as t:
+        for n, d in uniq:
+            ti = tarfile.TarInfo(n)
+            ti.size = len(d)
+            t.addfile(ti, io.BytesIO(d))
+    buf = bio.getvalue()
+    got = archive.tar_entries(buf)
+    assert [g[0] for g in got] == [n for n, _ in uniq]
+    for (name, off, size), (_, d) in zip(got, uniq):
+        assert buf[off:off + size] == d
