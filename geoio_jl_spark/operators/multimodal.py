@@ -175,6 +175,9 @@ def _decode_real(buf: bytes) -> np.ndarray:
     elif buf[:2] == b"BM":
         from geoio_jl_spark.sources import bmp
         a = bmp.decode(buf)
+    elif buf[:4] == b"\x00\x00\x01\x00":       # ICO (favicon)
+        from geoio_jl_spark.sources import bmp
+        a = bmp.decode_ico(buf)
     else:
         raise NotImplementedError(
             "unrecognized media container (PNG/JPEG/GIF/BMP decode from "

@@ -77,3 +77,51 @@ def encode(arr: np.ndarray) -> bytes:
     off = 14 + 40
     hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
     return hdr + info + body
+
+# ---------------------------------------------------------------------------
+# ICO (favicon) — icon directory wrapping PNG or DIB entries; decode
+# reuses this module's DIB path and sources/img.decode_png.  Web crawls
+# meet favicons constantly, so the multimodal dispatch covers them.
+# ---------------------------------------------------------------------------
+
+def decode_ico(buf: bytes, entry: int | None = None) -> "np.ndarray":
+    """ICO bytes -> (h, w, c) uint8 of the chosen entry (default: the
+    largest image).  PNG-compressed entries route to the engine's PNG
+    decoder; DIB entries reuse the BMP pixel path (height is doubled in
+    the header for the AND mask, which 32-bit entries ignore)."""
+    if len(buf) < 6 or buf[:4] != b"\x00\x00\x01\x00":
+        raise ValueError("not an ICO file")
+    n = struct.unpack_from("<H", buf, 4)[0]
+    if n == 0:
+        raise ValueError("ICO: no images")
+    entries = []
+    for i in range(n):
+        w, h, _ncol, _r, _planes, _bpp, size, off = struct.unpack_from(
+            "<BBBBHHII", buf, 6 + 16 * i)
+        entries.append((w or 256, h or 256, size, off))
+    idx = (entry if entry is not None
+           else max(range(n), key=lambda i: entries[i][0] * entries[i][1]))
+    w, h, size, off = entries[idx]
+    data = buf[off: off + size]
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from geoio_jl_spark.sources.img import decode_png
+        a = decode_png(data)
+        return a if a.ndim == 3 else a[:, :, None]
+    # DIB entry: BITMAPINFOHEADER with doubled height; build a BMP in
+    # memory and reuse decode()
+    hdr_size = struct.unpack_from("<I", data, 0)[0]
+    if hdr_size < 40:
+        raise ValueError("ICO: unsupported DIB header")
+    dib = bytearray(data)
+    real_h = struct.unpack_from("<i", dib, 8)[0] // 2
+    struct.pack_into("<i", dib, 8, real_h)
+    bpp = struct.unpack_from("<H", dib, 14)[0]
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"ICO: DIB bit depth {bpp} unsupported")
+    clr_used = struct.unpack_from("<I", dib, 32)[0]
+    n_pal = (clr_used or 256) if bpp == 8 else 0
+    data_off = 14 + hdr_size + 4 * n_pal
+    fake = (b"BM" + struct.pack("<IHHI", 14 + len(dib), 0, 0, data_off)
+            + bytes(dib))
+    img = decode(fake)
+    return img[:real_h] if img.shape[0] > real_h else img

@@ -528,3 +528,35 @@ def lines_to_mvt(lines: DataFrame, zoom: int,
                               "mvt": blob}])
 
     return d.groupBy("tx", "ty").applyInPandas(_encode, MVT_SCHEMA)
+
+
+def pyramid_to_mvt(pyramid: DataFrame, base_tile: int = 64,
+                   extent: int = 4096, layer: str = "density",
+                   max_zoom: int | None = None) -> DataFrame:
+    """Tile-pyramid counts (operators/pyramid.tile_pyramid output:
+    zoom, tx, ty, n) -> one MVT per tile with a single center-point
+    feature carrying the count — the heat-density layer a map serves
+    at every zoom.  Row-local encode (one tiny feature per row), no
+    extra shuffle: the pyramid already IS tile-keyed."""
+    from geoio_jl_spark.shipping import ensure_pyfiles
+    ensure_pyfiles(pyramid.sparkSession)
+    src = pyramid
+    if max_zoom is not None:
+        src = src.filter(F.col("zoom") <= max_zoom)
+
+    def _encode(batches):
+        c = extent // 2
+        for pdf in batches:
+            rows = []
+            for z, tx, ty, n in zip(pdf["zoom"], pdf["tx"], pdf["ty"],
+                                    pdf["n"]):
+                blob = encode_tile({layer: {"extent": extent, "features": [
+                    {"id": 1, "type": POINT, "parts": [[(c, c)]],
+                     "props": {"n": int(n), "zoom": int(z)}}]}})
+                rows.append({"zoom": int(z), "tx": int(tx),
+                             "ty": int(ty), "mvt": blob})
+            yield pd.DataFrame(
+                rows, columns=["zoom", "tx", "ty", "mvt"])
+
+    return src.select("zoom", "tx", "ty", "n").mapInPandas(
+        _encode, MVT_SCHEMA)

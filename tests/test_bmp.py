@@ -83,3 +83,60 @@ def test_multimodal_dispatch(spark):
     feats = M.image_features(df).collect()[0]["features"]
     np.testing.assert_allclose(
         feats[:3], arr.reshape(-1, 3).mean(axis=0), rtol=1e-6)
+
+def _ico_wrap(entries):
+    """Independent ICO writer for tests: [(w, h, payload_bytes)]."""
+    hdr = b"\x00\x00\x01\x00" + struct.pack("<H", len(entries))
+    dirs, blobs = b"", b""
+    off = 6 + 16 * len(entries)
+    for w, h, data in entries:
+        dirs += struct.pack("<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32,
+                            len(data), off)
+        blobs += data
+        off += len(data)
+    return hdr + dirs + blobs
+
+
+def test_ico_png_entry():
+    from geoio_jl_spark.sources.bmp import decode_ico
+    from geoio_jl_spark.sources.img import encode_png
+    rng = np.random.default_rng(71)
+    arr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    ico = _ico_wrap([(16, 16, encode_png(arr))])
+    np.testing.assert_array_equal(decode_ico(ico), arr)
+
+
+def test_ico_dib_entry_with_and_mask():
+    from geoio_jl_spark.sources.bmp import decode_ico
+    rng = np.random.default_rng(72)
+    arr = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    # hand-build the DIB: BITMAPINFOHEADER with doubled height, XOR
+    # pixels bottom-up BGRA, then an all-zero 1-bit AND mask
+    bgra = arr[:, :, [2, 1, 0, 3]][::-1].tobytes()
+    and_mask = b"\x00" * (8 * 4)               # 8 rows x 4-byte stride
+    info = struct.pack("<IiiHHIIiiII", 40, 8, 16, 1, 32, 0,
+                       len(bgra), 0, 0, 0, 0)
+    ico = _ico_wrap([(8, 8, info + bgra + and_mask)])
+    np.testing.assert_array_equal(decode_ico(ico), arr)
+
+
+def test_ico_picks_largest_entry():
+    from geoio_jl_spark.sources.bmp import decode_ico
+    from geoio_jl_spark.sources.img import encode_png
+    rng = np.random.default_rng(73)
+    small = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    big = rng.integers(0, 256, (12, 12, 3), dtype=np.uint8)
+    ico = _ico_wrap([(4, 4, encode_png(small)), (12, 12, encode_png(big))])
+    np.testing.assert_array_equal(decode_ico(ico), big)
+    np.testing.assert_array_equal(decode_ico(ico, entry=0), small)
+
+
+def test_ico_through_multimodal(spark):
+    from geoio_jl_spark.operators import multimodal as M
+    from geoio_jl_spark.sources.img import encode_png
+    rng = np.random.default_rng(74)
+    arr = rng.integers(0, 256, (10, 10, 3), dtype=np.uint8)
+    ico = _ico_wrap([(10, 10, encode_png(arr))])
+    df = spark.createDataFrame([(1, bytearray(ico))], ["id", "image"])
+    meta = M.decode_images(df).collect()[0]["meta"]
+    assert meta["ok"] and (meta["width"], meta["height"]) == (10, 10)

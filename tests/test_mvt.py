@@ -249,3 +249,22 @@ def test_lines_to_mvt_multipart(spark):
     # tile (0,0): segment from (10,10) to the x=64 boundary
     p00 = decode_tile(tiles[(0, 0)])["lines"]["features"][0]["parts"][0]
     assert p00[-1][0] == 4096                  # exits at the right edge
+
+
+def test_pyramid_to_mvt_compose(spark):
+    """Tile pyramid -> MVT heat layer: counts survive the encode and
+    every (zoom, tx, ty) from the pyramid appears exactly once."""
+    from geoio_jl_spark.operators.pyramid import tile_pyramid
+    from geoio_jl_spark.sources.mvt import decode_tile, pyramid_to_mvt
+
+    pts = spark.createDataFrame(
+        [(i % 250, (i * 7) % 250) for i in range(300)], ["x", "y"])
+    pyr = tile_pyramid(pts, "x", "y", max_zoom=2, base_tile=64)
+    exp = {(r["zoom"], r["tx"], r["ty"]): r["n"] for r in pyr.collect()}
+    got = {}
+    for r in pyramid_to_mvt(pyr, base_tile=64).collect():
+        layers = decode_tile(bytes(r["mvt"]))
+        (feat,) = layers["density"]["features"]
+        got[(r["zoom"], r["tx"], r["ty"])] = feat["props"]["n"]
+        assert feat["props"]["zoom"] == r["zoom"]
+    assert got == exp
