@@ -192,3 +192,35 @@ def clip_line_rect(line: np.ndarray, minx: float, miny: float,
     if len(cur) >= 2:
         parts.append(cur)
     return [np.array(part) for part in parts]
+
+
+def simplify_dp(line: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker polyline simplification (iterative stack — no
+    recursion-depth limit on pathological inputs).  Keeps endpoints;
+    every dropped vertex lies within ``tol`` perpendicular distance of
+    the simplified chain.  The standard reduction before encoding
+    lower-zoom tiles."""
+    pts = np.asarray(line, np.float64)
+    n = len(pts)
+    if n <= 2 or tol <= 0:
+        return pts.copy()
+    keep = np.zeros(n, bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        seg = pts[b] - pts[a]
+        norm = np.hypot(*seg)
+        mid = pts[a + 1: b]
+        if norm == 0.0:                        # degenerate: distance to point
+            d = np.hypot(*(mid - pts[a]).T)
+        else:
+            d = np.abs(np.cross(seg, mid - pts[a])) / norm
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            keep[a + 1 + k] = True
+            stack.append((a, a + 1 + k))
+            stack.append((a + 1 + k, b))
+    return pts[keep]

@@ -468,13 +468,15 @@ def lines_to_mvt(lines: DataFrame, zoom: int,
                  layer: str = "lines",
                  id_col: str = "line_id", path_col: str = "path",
                  base_tile: int = 64, extent: int = 4096,
-                 prop_cols: list[str] | None = None) -> DataFrame:
+                 prop_cols: list[str] | None = None,
+                 simplify_tol: float = 0.0) -> DataFrame:
     """Polyline table -> (zoom, tx, ty, mvt) tile archive with per-tile
     Liang-Barsky clipping (a line leaving and re-entering a tile
     becomes a multi-linestring feature).  Same fan-out shape as
     polygons_to_mvt: bbox cover via sequence+explode, exact clip in the
     per-tile Arrow batch."""
-    from geoio_jl_spark.functions.geomkernels import clip_line_rect
+    from geoio_jl_spark.functions.geomkernels import (clip_line_rect,
+                                                      simplify_dp)
     from geoio_jl_spark.shipping import ensure_pyfiles
     ensure_pyfiles(lines.sparkSession)
     props = list(prop_cols or [])
@@ -509,6 +511,10 @@ def lines_to_mvt(lines: DataFrame, zoom: int,
         for row in pdf.itertuples(index=False):
             path = np.array([(p["x"], p["y"])
                              for p in getattr(row, path_col)], np.float64)
+            if simplify_tol > 0:
+                # Douglas-Peucker BEFORE clipping: per-zoom detail
+                # reduction (pass ~ tile_size/extent for sub-pixel)
+                path = simplify_dp(path, simplify_tol)
             parts = _snap(clip_line_rect(path, x0, y0, x0 + ts, y0 + ts),
                           x0, y0)
             if not parts:

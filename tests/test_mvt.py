@@ -268,3 +268,52 @@ def test_pyramid_to_mvt_compose(spark):
         got[(r["zoom"], r["tx"], r["ty"])] = feat["props"]["n"]
         assert feat["props"]["zoom"] == r["zoom"]
     assert got == exp
+
+
+def test_simplify_dp_invariants():
+    from geoio_jl_spark.functions.geomkernels import simplify_dp
+
+    # textbook case: a near-collinear midpoint drops, a real corner stays
+    line = np.array([(0.0, 0.0), (5.0, 0.01), (10.0, 0.0),
+                     (10.0, 10.0)])
+    out = simplify_dp(line, tol=0.1)
+    np.testing.assert_array_equal(
+        out, np.array([(0.0, 0.0), (10.0, 0.0), (10.0, 10.0)]))
+    # endpoints always kept; tol=0 is identity
+    np.testing.assert_array_equal(simplify_dp(line, 0.0), line)
+    # every dropped vertex is within tol of the simplified chain
+    rng = np.random.default_rng(81)
+    wav = np.cumsum(rng.normal(0, 1, (80, 2)), axis=0)
+    tol = 1.5
+    simp = simplify_dp(wav, tol)
+    assert (simp[0] == wav[0]).all() and (simp[-1] == wav[-1]).all()
+    # brute-force max deviation of the original from the simplified chain
+    def seg_dist(p, a, b):
+        d = b - a
+        t = 0.0 if (d == 0).all() else np.clip(
+            np.dot(p - a, d) / np.dot(d, d), 0, 1)
+        return np.hypot(*(p - (a + t * d)))
+    for p in wav:
+        dmin = min(seg_dist(p, simp[k], simp[k + 1])
+                   for k in range(len(simp) - 1))
+        assert dmin <= tol + 1e-9
+
+
+def test_lines_to_mvt_simplify_reduces_vertices(spark):
+    from geoio_jl_spark.sources.mvt import decode_tile, lines_to_mvt
+
+    # noisy path within one tile
+    rng = np.random.default_rng(82)
+    xs = np.linspace(2, 60, 40)
+    ys = 30 + rng.normal(0, 0.05, 40)
+    path = [{"x": float(x), "y": float(y)} for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(
+        [(1, path)], "line_id bigint, path array<struct<x:double,y:double>>")
+    raw = lines_to_mvt(df, zoom=0, base_tile=64).collect()
+    simp = lines_to_mvt(df, zoom=0, base_tile=64,
+                        simplify_tol=0.5).collect()
+    n_raw = len(decode_tile(bytes(raw[0]["mvt"]))
+                ["lines"]["features"][0]["parts"][0])
+    n_simp = len(decode_tile(bytes(simp[0]["mvt"]))
+                 ["lines"]["features"][0]["parts"][0])
+    assert n_simp == 2 and n_raw > 10          # noise collapses to a segment
