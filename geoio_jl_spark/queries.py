@@ -2067,6 +2067,48 @@ FROM c
 
 
 # ---------------------------------------------------------------------------
+# Q: focal mean over the doc-density grid (operators/raster.focal_stats)
+# — 3x3 map algebra as a scatter stencil; the oracle mirrors the exact
+# scatter (cross join with the 9 offsets, group by target, HAVING 9),
+# so interior-only semantics and the avg/min/max values match exactly
+# (sum of 9 bigints < 2^53 -> avg is the same IEEE division).
+# ---------------------------------------------------------------------------
+
+_FOCAL_EDGE = 1000.0   # centidegrees per cell -> 36 x 17 grid
+
+
+def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoio_jl_spark.operators.raster import focal_stats
+    pts = _docs_points(spark, sf_dir)
+    cells = (pts
+             .select(F.floor(F.col("lon_i") / _FOCAL_EDGE)
+                     .cast("bigint").alias("i"),
+                     F.floor(F.col("lat_i") / _FOCAL_EDGE)
+                     .cast("bigint").alias("j"))
+             .groupBy("i", "j")
+             .agg(F.count("*").alias("v")))
+    return (focal_stats(cells, v_col="v")
+            .select("i", "j", "focal_mean",
+                    F.col("focal_min").cast("bigint").alias("focal_min"),
+                    F.col("focal_max").cast("bigint").alias("focal_max")))
+
+
+def _sql_focal_mean() -> str:
+    return f"""WITH c AS (
+  SELECT CAST(floor(({LON}) / {_FOCAL_EDGE}) AS BIGINT) AS i,
+         CAST(floor(({LAT}) / {_FOCAL_EDGE}) AS BIGINT) AS j,
+         count(*) AS v
+  FROM documents GROUP BY 1, 2),
+s AS (
+  SELECT c.i - dx.d AS ti, c.j - dy.d AS tj, c.v
+  FROM c, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d))
+SELECT ti AS i, tj AS j, avg(v) AS focal_mean,
+       CAST(min(v) AS BIGINT) AS focal_min,
+       CAST(max(v) AS BIGINT) AS focal_max
+FROM s GROUP BY 1, 2 HAVING count(*) = 9"""
+
+
+# ---------------------------------------------------------------------------
 # Q: geohash cells (dialect.geohash_sql) — classic base-32 interleaved-bit
 # cell key over the doc lattice; bin indices are exact integer arithmetic
 # (power-of-two divisions are IEEE-exact), so Spark and DuckDB agree
@@ -2296,7 +2338,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "raster_warp": (q_raster_warp, _sql_raster_warp()),
         "tile_pyramid": (q_tile_pyramid, _sql_tile_pyramid()),
         "corpus_card": (q_corpus_card, _SQL_CORPUS_CARD),
-        "sinusoidal": (q_sinusoidal, _SQL_SINUSOIDAL),
+        "focal_mean": (q_focal_mean, _sql_focal_mean()),
         "image_neardup": (q_image_neardup, _SQL_IMAGE_NEARDUP),
         "quality_model_score": (q_quality_model, _sql_quality_model()),
         "chunk_dedup": (q_chunk_dedup, _SQL_CHUNK_DEDUP),
@@ -2316,7 +2358,10 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         # strictly stronger tokenizer check: real merge application vs
         # the regex token-count heuristic).
         # round-6 geohash_cells took invalid_rows' slot (P4 stays
-        # covered by pytest + the in-window valid_counts P3 twin).
+        # covered by pytest + the in-window valid_counts P3 twin);
+        # round-6 focal_mean took sinusoidal's (r5-green; webmercator
+        # keeps the F15 family in-window).
+        "sinusoidal": (q_sinusoidal, _SQL_SINUSOIDAL),
         "invalid_rows": (q_invalid_rows, SQL_INVALID_ROWS),
         "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),
         "knn_join_partial": (q_knn_partial, SQL_KNN),
