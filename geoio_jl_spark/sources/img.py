@@ -124,6 +124,9 @@ def read(spark: SparkSession, path: str) -> DataFrame:
     elif buf[:2] == b"BM":
         from geoio_jl_spark.sources import bmp
         arr = bmp.decode(buf)
+    elif buf[:4] == b"\x00\x00\x01\x00":
+        from geoio_jl_spark.sources import bmp
+        arr = bmp.decode_ico(buf)
     else:
         arr = decode_png(buf)
     h, w, ch = arr.shape

@@ -42,6 +42,7 @@ FORMATS = {
     ".jpeg": (img.read, img.write, "grid", "alias of .jpg"),
     ".gif": (img.read, None, "grid", "GIF87a/89a incl. LZW (from scratch)"),
     ".bmp": (img.read, None, "grid", "uncompressed DIB (from scratch)"),
+    ".ico": (img.read, None, "grid", "favicon (PNG/DIB entries)"),
     ".obj": (meshtext.read_obj, meshtext.write_obj, "mesh", "vertices+faces"),
     ".off": (meshtext.read_off, meshtext.write_off, "mesh", "vertices+faces+colors"),
     ".stl": (stl.read, stl.write, "mesh", "binary/ascii, vertex dedup"),
