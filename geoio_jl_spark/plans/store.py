@@ -77,17 +77,31 @@ def _base_dir(store_dir: str) -> str:
 
 
 def resolve(spark: SparkSession, store_dir: str,
-            key_col: str = "url") -> DataFrame:
+            key_col: str = "url",
+            as_of_epoch: int | None = None) -> DataFrame:
     """Latest row per key across base + all deltas.
 
     One ``max_by(struct(cols), epoch)`` aggregation: partial-aggregable
     (map-side combine), no global sort, no window — the merge-on-read
-    required at every read, priced as a single shuffle on the key."""
+    required at every read, priced as a single shuffle on the key.
+
+    ``as_of_epoch`` gives TIME TRAVEL: the view as of that ingest epoch
+    (rows with epoch > N filtered out before the aggregation, so
+    Catalyst prunes whole delta directories).  Raises once compaction
+    has folded the requested history into a newer base — archive the
+    CDC tail downstream if older snapshots must stay reachable."""
     man = read_manifest(store_dir)
+    if as_of_epoch is not None and man["base_epoch"] is not None \
+            and as_of_epoch < man["base_epoch"]:
+        raise ValueError(
+            f"epoch {as_of_epoch} predates the compacted base "
+            f"({man['base_epoch']}); that history has been folded")
     parts = []
     if man["base_epoch"] is not None:
         parts.append(spark.read.parquet(_base_dir(store_dir)))
     for e in man["epochs"]:
+        if as_of_epoch is not None and e > as_of_epoch:
+            continue
         if man["base_epoch"] is None or e > man["base_epoch"]:
             parts.append(spark.read.parquet(_delta_dir(store_dir, e)))
     if not parts:
@@ -228,3 +242,19 @@ def changes(spark: SparkSession, store_dir: str,
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+def stats(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Manifest as a DataFrame: one row per ingest epoch with its CDC
+    counts — the per-run metrics table the north rule's lineage story
+    reads (pairs with plans/checkpoint.py's per-stage metrics)."""
+    man = read_manifest(store_dir)
+    rows = [(int(e),
+             int(man["counts"].get(str(e), {}).get("inserted", 0)),
+             int(man["counts"].get(str(e), {}).get("updated", 0)),
+             float(man["counts"].get(str(e), {}).get("ts", 0.0)),
+             e <= (man["base_epoch"] or -1))
+            for e in sorted({*man["epochs"],
+                             *map(int, man["counts"].keys())})]
+    return spark.createDataFrame(
+        rows, "epoch int, inserted bigint, updated bigint, "
+              "ts double, compacted boolean")

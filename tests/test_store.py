@@ -174,3 +174,35 @@ def test_resolve_raises_on_missing_base(spark, tmp_path):
     shutil.rmtree(f"{d}/base")
     with pytest.raises(ValueError, match="no\\s+base"):
         S.resolve(spark, d).collect()
+
+
+def test_time_travel_as_of_epoch(spark, tmp_path):
+    d = str(tmp_path / "store")
+    S.ingest(spark, d, _df(spark, [("u1", "a"), ("u2", "b")]), epoch=1)
+    S.ingest(spark, d, _df(spark, [("u2", "B"), ("u3", "c")]), epoch=2)
+    S.ingest(spark, d, _df(spark, [("u1", "A3")]), epoch=3)
+    def at(e):
+        return {r["url"]: r["text"] for r in
+                S.resolve(spark, d, as_of_epoch=e)
+                .select("url", "text").collect()}
+    assert at(1) == {"u1": "a", "u2": "b"}
+    assert at(2) == {"u1": "a", "u2": "B", "u3": "c"}
+    assert at(3) == {"u1": "A3", "u2": "B", "u3": "c"}
+    # compaction folds history: pre-base epochs become unreachable
+    S.compact(spark, d)
+    with pytest.raises(ValueError, match="folded"):
+        S.resolve(spark, d, as_of_epoch=1)
+    assert at(3) == {"u1": "A3", "u2": "B", "u3": "c"}
+
+
+def test_store_stats_view(spark, tmp_path):
+    d = str(tmp_path / "store")
+    S.ingest(spark, d, _df(spark, [("u1", "a")]), epoch=1)
+    S.ingest(spark, d, _df(spark, [("u1", "A"), ("u2", "b")]), epoch=2)
+    rows = {r["epoch"]: r for r in S.stats(spark, d).collect()}
+    assert rows[1]["inserted"] == 1 and rows[1]["updated"] == 0
+    assert rows[2]["inserted"] == 1 and rows[2]["updated"] == 1
+    assert not rows[1]["compacted"]
+    S.compact(spark, d)
+    rows = {r["epoch"]: r for r in S.stats(spark, d).collect()}
+    assert rows[2]["compacted"]
