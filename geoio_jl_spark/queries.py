@@ -2067,6 +2067,64 @@ FROM c
 
 
 # ---------------------------------------------------------------------------
+# Q: PageRank over the part<->supplier bipartite graph (operators/
+# graph.py) — 5 synchronous rounds in fixed-point int64; the oracle
+# unrolls the identical rounds (the bpe_merges pattern), every division
+# is the floor(int / int-as-double) identical-IEEE form and every sum
+# an order-independent int64 sum, so ranks are bit-identical.
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoio_jl_spark.operators.graph import pagerank
+    li = _read(spark, sf_dir, "lineitem")
+    fwd = li.select((F.col("l_partkey") * 2).alias("src"),
+                    (F.col("l_suppkey") * 2 + 1).alias("dst"))
+    edges = fwd.unionByName(
+        li.select((F.col("l_suppkey") * 2 + 1).alias("src"),
+                  (F.col("l_partkey") * 2).alias("dst")))
+    return pagerank(edges, iters=_PR_ITERS)
+
+
+def _sql_pagerank(iters: int = _PR_ITERS) -> str:
+    head = """WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+    UNION ALL
+    SELECT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM lineitem)),
+nodes AS (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst AS node FROM e),
+b AS (SELECT CAST(floor(1000000000000 / CAST(count(*) AS DOUBLE))
+              AS BIGINT) AS r0,
+             CAST(floor(15 * floor(1000000000000
+                                   / CAST(count(*) AS DOUBLE)) / 100.0)
+              AS BIGINT) AS tele
+      FROM nodes),
+ed AS (SELECT e.src, e.dst, d.deg
+       FROM e JOIN (SELECT src, count(*) AS deg FROM e GROUP BY 1) d
+       USING (src)),
+r0t AS (SELECT node, (SELECT r0 FROM b) AS r FROM nodes)"""
+    parts = [head]
+    prev = "r0t"
+    for k in range(1, iters + 1):
+        parts.append(f""",
+r{k} AS (
+  SELECT n.node,
+         (SELECT tele FROM b)
+         + CAST(floor(85 * COALESCE(s.s, 0) / 100.0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT ed.dst AS node,
+           SUM(CAST(floor(r.r / CAST(ed.deg AS DOUBLE)) AS BIGINT)) AS s
+    FROM ed JOIN {prev} r ON ed.src = r.node GROUP BY 1) s
+  USING (node))""")
+        prev = f"r{k}"
+    parts.append(f"\nSELECT node, r FROM r{iters}")
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
 # Q: focal mean over the doc-density grid (operators/raster.focal_stats)
 # — 3x3 map algebra as a scatter stencil; the oracle mirrors the exact
 # scatter (cross join with the 9 offsets, group by target, HAVING 9),
@@ -2319,7 +2377,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "ivf_topk": (q_ivf_topk, _sql_ivf_topk()),
         "ngram_jaccard_capped": (q_ngram_jaccard_capped,
                                  _sql_ngram_jaccard_capped()),
-        "simhash": (q_simhash, _sql_simhash()),
+        "pagerank": (q_pagerank, _sql_pagerank()),
         "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
         "vocab_topk": (q_vocab_topk, _SQL_VOCAB_TOPK),
         "ann_signature": (q_ann_signature, _sql_ann_signature()),
@@ -2357,6 +2415,10 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         # round-6 bpe_encode (bpe_tokens rotated out — bpe_encode is the
         # strictly stronger tokenizer check: real merge application vs
         # the regex token-count heuristic).
+        # round-6 pagerank took simhash's slot (r1-r5 driver-green;
+        # minhash_lsh / star-edges / ngram / exact keep the dedup
+        # family in-window).
+        "simhash": (q_simhash, _sql_simhash()),
         # round-6 geohash_cells took invalid_rows' slot (P4 stays
         # covered by pytest + the in-window valid_counts P3 twin);
         # round-6 focal_mean took sinusoidal's (r5-green; webmercator
