@@ -12,6 +12,9 @@ FAST = [
     "extent", "cell_counts", "valid_counts", "invalid_rows", "centroid",
     "grid_tiles", "token_stats", "fingerprint", "cosine_topk",
     "events_window",
+    # round-6 additions (fast at sf0.001; the slower bpe_encode is
+    # covered by the full parity gate)
+    "geohash_cells", "focal_mean", "pagerank", "bm25_score",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
