@@ -121,7 +121,11 @@ def _utf8_num(w: _BitWriter, n: int) -> None:
     for nbytes in range(2, 8):
         if n < (1 << (nbytes * 5 + 1)) or nbytes == 7:
             break
-    w.write((0xFF << (7 - nbytes)) & 0xFF | (n >> (6 * (nbytes - 1))), 8)
+    # lead byte carries `nbytes` leading ones then a zero: 0xC0 for 2
+    # bytes, 0xE0 for 3, ... 0xFE for 7.  (8 - nbytes), not (7 - nbytes):
+    # the r6 code emitted 0xE0 for a 2-byte sequence, so any stream with
+    # >= 128 frames wrote an undecodable frame number (ADVICE r7, high).
+    w.write((0xFF << (8 - nbytes)) & 0xFF | (n >> (6 * (nbytes - 1))), 8)
     for i in range(nbytes - 2, -1, -1):
         w.write(0x80 | ((n >> (6 * i)) & 0x3F), 8)
 
@@ -357,6 +361,16 @@ def _rice_param(res: list[int]) -> int:
 
 def _write_residual(w: _BitWriter, res: list[int], order: int,
                     block_size: int, partition_order: int) -> None:
+    # Clamp to an order the block actually supports: the spec's
+    # partition layout needs nparts | block_size and a non-empty first
+    # partition (block_size/nparts > order).  Without the clamp, a final
+    # partial block whose length is not divisible by 2^partition_order
+    # silently dropped residuals and produced a corrupt stream
+    # (ADVICE r7, medium).
+    while partition_order > 0 and (
+            block_size % (1 << partition_order)
+            or block_size // (1 << partition_order) <= order):
+        partition_order -= 1
     w.write(0, 2)                      # method 0: 4-bit rice params
     w.write(partition_order, 4)
     nparts = 1 << partition_order

@@ -411,7 +411,8 @@ def polygons_to_mvt(polys: DataFrame, zoom: int,
     the per-tile Arrow batch, so clip cost is O(candidate pairs), and a
     polygon spanning many tiles never ships whole-corpus anywhere.
     Clipped-away candidates (bbox touched, geometry didn't) drop out."""
-    from geoio_jl_spark.functions.geomkernels import clip_ring_rect
+    from geoio_jl_spark.functions.geomkernels import (clip_ring_rect,
+                                                      ring_area)
     from geoio_jl_spark.shipping import ensure_pyfiles
     ensure_pyfiles(polys.sparkSession)
     props = list(prop_cols or [])
@@ -447,6 +448,13 @@ def polygons_to_mvt(polys: DataFrame, zoom: int,
                 local = local[:-1]
             if len(local) < 3:
                 continue
+            # MVT 2.1 §4.3.3.3: an exterior ring must have positive
+            # area under the surveyor's formula over tile coordinates —
+            # strict decoders read a negative ring as a hole and drop
+            # the feature.  Clipping preserves input orientation, so
+            # normalize here (ADVICE r7).
+            if ring_area(local.astype(np.float64)) < 0:
+                local = local[::-1]
             feats.append({
                 "id": int(getattr(row, id_col)), "type": POLYGON,
                 "parts": [[(int(x), int(y)) for x, y in local]],

@@ -91,3 +91,37 @@ def test_audio_features_dispatches_flac(spark):
     assert rows[3] is None                       # undecodable → null
     assert rows[1] is not None and rows[2] is not None
     np.testing.assert_allclose(rows[1], rows[2], rtol=1e-5)
+
+
+def test_many_frames_roundtrip():
+    """ADVICE r7 (high): frame numbers >= 128 take the multi-byte UTF-8
+    path; the r6 lead byte (0xE0 for 2-byte) made every such stream
+    undecodable.  130 blocks forces frame numbers up to 129."""
+    rng = np.random.default_rng(7)
+    x = (rng.integers(-2000, 2000, size=130 * 256)).astype(np.int32)
+    blob = flac.encode(x, 16000, block_size=256)
+    out, rate, bps = flac.decode_raw(blob)
+    assert np.array_equal(out.reshape(-1), x)
+
+
+def test_utf8_num_lead_bytes():
+    """The variable-length number must round-trip for every byte-width
+    boundary (FLAC frame numbers can reach 2^36 - 1)."""
+    for n in (0, 127, 128, 2047, 2048, 65535, (1 << 16), (1 << 21) - 1,
+              (1 << 21), (1 << 26), (1 << 31), (1 << 36) - 1):
+        w = flac._BitWriter()
+        flac._utf8_num(w, n)
+        br = flac._BitReader(bytes(w.out))
+        assert flac._read_utf8_num(br) == n, n
+
+
+def test_partial_final_block_with_partition_order():
+    """ADVICE r7 (medium): 4197 samples at partition_order=2 leaves a
+    final 101-sample block not divisible by 4; the writer must clamp the
+    order instead of dropping residuals."""
+    rng = np.random.default_rng(11)
+    for n, po in ((4197, 2), (4099, 3), (513, 4)):
+        x = (rng.integers(-5000, 5000, size=n)).astype(np.int32)
+        blob = flac.encode(x, 8000, block_size=512, partition_order=po)
+        out, _, _ = flac.decode_raw(blob)
+        assert np.array_equal(out.reshape(-1), x), (n, po)

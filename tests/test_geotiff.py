@@ -378,3 +378,39 @@ def test_cog_overview_levels(tmp_path):
     np.testing.assert_array_equal(a1[:, :, 0], ovr)
     assert A0 == ((2.0, 0.0), (0.0, -3.0)) and b0 == (100.0, 200.0)
     assert A1 == ((4.0, 0.0), (0.0, -6.0)) and b1 == (100.0, 200.0)
+
+
+def test_ifd_chain_cycle_guard():
+    """A malformed/adversarial next-IFD pointer that loops back must
+    fail fast, not spin forever accumulating IFDs (VERDICT r6 item 6)."""
+    import struct as _s
+    # minimal little-endian classic TIFF: header -> IFD at 8 with one
+    # entry and a next-IFD pointer back to itself
+    ifd_off = 8
+    buf = bytearray(b"II" + _s.pack("<H", 42) + _s.pack("<I", ifd_off))
+    buf += _s.pack("<H", 1)                       # 1 entry
+    buf += _s.pack("<HHI", 256, 3, 1) + _s.pack("<I", 4)   # ImageWidth=4
+    buf += _s.pack("<I", ifd_off)                 # next IFD -> cycle
+    with pytest.raises(ValueError, match="cycle"):
+        GT._read_ifd_chain(bytes(buf))
+
+
+def test_warc_tolerant_mode_bad_content_length():
+    """sources/warc.py: a non-numeric Content-Length must keep the
+    records parsed so far in tolerant mode and raise in strict mode
+    (VERDICT r6 item 6)."""
+    from geoio_jl_spark.sources import warc
+    good = (b"WARC/1.0\r\n"
+            b"WARC-Type: resource\r\n"
+            b"WARC-Record-ID: <urn:uuid:1>\r\n"
+            b"Content-Length: 2\r\n"
+            b"\r\nok\r\n\r\n")
+    bad = (b"WARC/1.0\r\n"
+           b"WARC-Type: resource\r\n"
+           b"WARC-Record-ID: <urn:uuid:2>\r\n"
+           b"Content-Length: XYZ\r\n"
+           b"\r\nzz\r\n\r\n")
+    out = warc.parse_warc_bytes(good + bad, "f", strict=False)
+    assert len(out) == 1 and out[0]["payload"] == b"ok"
+    with pytest.raises(ValueError, match="non-numeric"):
+        warc.parse_warc_bytes(good + bad, "f", strict=True)

@@ -317,3 +317,26 @@ def test_lines_to_mvt_simplify_reduces_vertices(spark):
     n_simp = len(decode_tile(bytes(simp[0]["mvt"]))
                  ["lines"]["features"][0]["parts"][0])
     assert n_simp == 2 and n_raw > 10          # noise collapses to a segment
+
+
+def test_polygons_to_mvt_normalizes_winding(spark):
+    """MVT 2.1 §4.3.3.3: exterior rings must have positive surveyor
+    area in tile coordinates regardless of input orientation — strict
+    renderers read a negative ring as a hole (ADVICE r7).  Encode the
+    same square both ways; both must decode with positive area."""
+    from geoio_jl_spark.functions.geomkernels import ring_area
+    from geoio_jl_spark.sources.mvt import decode_tile, polygons_to_mvt
+
+    ccw = [(10.0, 10.0), (50.0, 10.0), (50.0, 50.0), (10.0, 50.0)]
+    cw = list(reversed(ccw))
+    df = spark.createDataFrame(
+        [(1, [{"x": x, "y": y} for x, y in ccw]),
+         (2, [{"x": x, "y": y} for x, y in cw])],
+        "poly_id bigint, ring array<struct<x:double,y:double>>")
+    rows = polygons_to_mvt(df, zoom=3, base_tile=64, extent=4096).collect()
+    assert len(rows) == 1
+    layer = decode_tile(bytes(rows[0]["mvt"]))["polygons"]
+    assert len(layer["features"]) == 2
+    for feat in layer["features"]:
+        a = ring_area(np.array(feat["parts"][0], float))
+        assert a > 0, (feat["id"], a)

@@ -100,3 +100,31 @@ def test_packing_stats(spark):
 def test_max_len_validation(spark):
     with pytest.raises(ValueError, match="positive"):
         pack_sequences(_docs(spark, 10), 0)
+
+
+def test_oracle_floor_semantics_zero_token_doc_at_offset_zero(spark):
+    """ADVICE r6: DuckDB `//` truncates toward zero, Spark floor()
+    rounds down — for a zero-token doc at offset 0 the old oracle gave
+    seq_end=0 while Spark gives -1 (the documented seq_end < seq_start
+    empty-doc contract).  Pin cross-engine parity on exactly that row."""
+    import duckdb
+    import re
+    from geoio_jl_spark.operators.packing import pack_sequences
+    from geoio_jl_spark.queries import _SQL_PACK_SEQUENCES, _PACK_LEN
+
+    rows = [(0, 0), (1, 100), (2, 0), (3, _PACK_LEN * 2)]
+    d = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    got = {r["doc_id"]: (r["offset"], r["seq_start"], r["seq_end"], r["n_seqs"])
+           for r in pack_sequences(d, _PACK_LEN).collect()}
+    assert got[0] == (0, 0, -1, 0)          # the divergence row
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t0 (doc_id BIGINT, n_tokens INT)")
+    con.executemany("INSERT INTO t0 VALUES (?, ?)", rows)
+    # reuse the registered oracle, retargeted at the synthetic table:
+    # swap the documents scan (incl. its tokenizer) for the raw columns
+    sql = re.sub(r"SELECT doc_id,\s*\n\s*len\(.*\) AS n_tokens\s*\n\s*FROM documents",
+                 "SELECT doc_id, n_tokens FROM t0", _SQL_PACK_SEQUENCES)
+    assert "t0" in sql, "oracle text changed; update the regex"
+    want = {r[0]: (r[2], r[3], r[4], r[5]) for r in con.execute(sql).fetchall()}
+    assert got == want

@@ -113,3 +113,19 @@ def test_ivf_persisted_layout_prunes_partitions(spark, tmp_path):
     a = norm(S.ivf_search(assigned, cents, q, k=5).collect())
     b = norm(S.ivf_search(back, cents2, q, k=5).collect())
     assert a == b
+
+
+def test_embedding_near_dup_plan_no_broadcast(spark, sf_dir):
+    """VERDICT r6 item 4: the vector-fetch joins in q_embedding_near_dup
+    must NOT broadcast the embeddings relation — at 100 TB it never fits.
+    The candidate pairs and both vector fetches go through shuffle joins
+    (AQE may still pick broadcast at runtime when a side is genuinely
+    small; this asserts the *logical* plan carries no broadcast hint)."""
+    from geoio_jl_spark.queries import q_embedding_near_dup
+    df = q_embedding_near_dup(spark, sf_dir)
+    # no explicit broadcast hint anywhere in the optimized logical plan
+    # (a hint survives optimization as `...Hint=(strategy=broadcast)`)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in optimized
+    assert "ResolvedHint" not in optimized
+    assert df.count() > 0  # still produces the candidate set
