@@ -2432,6 +2432,53 @@ GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# Q: corpus store CDC resolve (plans/store.py) — a deterministic 3-epoch
+# delta chain derived from the documents table is ingested into a
+# throwaway store, then read back through the merge-on-read resolve
+# (one max_by(struct, epoch) aggregation — the exact read path every
+# store consumer takes).  The oracle replays the same chain in closed
+# form: the last epoch that touched a key wins, so resolved text /
+# epoch / op are pure CASE expressions over doc_id (rev2 touches
+# doc_id % 7 == 0 at epoch 1, rev3 touches doc_id % 13 == 0 at epoch 2;
+# revisions append a suffix so every touch is a real content change and
+# the CDC diff emits it).  VERDICT r6 item 5.
+# ---------------------------------------------------------------------------
+
+def q_store_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from geoio_jl_spark.plans import store as ST
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    d = tempfile.mkdtemp(prefix="geoio_store_resolve_")
+    ST.ingest(spark, d, docs, epoch=0, key_col="doc_id")
+    rev2 = (docs.filter(F.col("doc_id") % 7 == 0)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" [rev2]"))))
+    ST.ingest(spark, d, rev2, epoch=1, key_col="doc_id")
+    rev3 = (docs.filter(F.col("doc_id") % 13 == 0)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" [rev3]"))))
+    ST.ingest(spark, d, rev3, epoch=2, key_col="doc_id")
+    out = ST.resolve(spark, d, key_col="doc_id")
+    return out.select("doc_id",
+                      F.col("text").alias("resolved_text"),
+                      F.col("epoch").cast("int").alias("epoch"),
+                      "op")
+
+
+_SQL_STORE_RESOLVE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 13 = 0 THEN text || ' [rev3]'
+            WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+            ELSE text END AS resolved_text,
+       CAST(CASE WHEN doc_id % 13 = 0 THEN 2
+                 WHEN doc_id % 7 = 0 THEN 1
+                 ELSE 0 END AS INT) AS epoch,
+       CASE WHEN doc_id % 13 = 0 OR doc_id % 7 = 0
+            THEN 'update' ELSE 'insert' END AS op
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2467,7 +2514,12 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "pagerank": (q_pagerank, _sql_pagerank()),
         "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
         "vocab_topk": (q_vocab_topk, _SQL_VOCAB_TOPK),
-        "ann_signature": (q_ann_signature, _sql_ann_signature()),
+        # round-7 store_resolve took ann_signature's slot (r1-r6
+        # driver-green; cosine_topk / embedding_near_dup / ivf_topk /
+        # semantic_dedup keep the similarity family in-window, and
+        # every over-cap entry is now gated on every pytest run —
+        # tests/test_queries_oracle.py::test_rotated_out_query_matches_oracle).
+        "store_resolve": (q_store_resolve, _SQL_STORE_RESOLVE),
         "vertex_dedup": (q_vertex_dedup, SQL_VERTEX_DEDUP),
         "layer_select": (q_layer_select, SQL_LAYER_SELECT),
         "webmercator": (q_webmercator, SQL_WEBMERCATOR),
@@ -2525,4 +2577,6 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "mercator3395": (q_mercator3395, SQL_MERCATOR3395),
         "lambert93": (q_lambert93, _sql_lambert93()),
         "rd_new": (q_rd_new, _sql_rd_new()),
+        # round-7: ann_signature rotated out (see store_resolve above)
+        "ann_signature": (q_ann_signature, _sql_ann_signature()),
     }

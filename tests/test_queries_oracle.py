@@ -49,3 +49,27 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert sorted(scols) == sorted(dcols)
     assert len(srows) == len(drows)
     assert _multiset(scols, srows) == _multiset(dcols, drows)
+
+
+def _over_cap_names():
+    names = list(Q.registry())
+    return names[50:]
+
+
+@pytest.mark.parametrize("name", _over_cap_names())
+def test_rotated_out_query_matches_oracle(spark, sf_dir, duck, name):
+    """Every entry past the driver's 50-query window stays gated here on
+    every pytest run (ADVICE r6: rotation must not leave rotated-out
+    queries checked by nothing but history)."""
+    fn, sql = Q.registry()[name]
+    if sql is None:
+        pytest.skip("no SQL oracle (rows-only query)")
+    sdf = fn(spark, sf_dir)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = duck.sql(sql)
+    dcols = [c.lower() for c in rel.columns]
+    drows = rel.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert _multiset(scols, srows) == _multiset(dcols, drows)
