@@ -31,16 +31,69 @@ from geoio_jl_spark.functions.crsstrings import parse_wkt2, wkt2_to_projjson
 _DEG_RAD = 0.017453292519943295
 
 
+# Every projection-method spelling the dispatcher in
+# _projjson_transform accepts (EPSG names, ESRI WKT1 aliases, common
+# shorthands), normalized through _norm.  Kept next to the error class
+# so the coverage table in docs/PROJECTIONS.md, the error message, and
+# the nearest-family hint all read from one list.  The reference
+# reaches every projection via PROJ (src/extra/gis.jl:29-38); this
+# engine's closed-form families cover the methods behind the vast
+# majority of real EPSG codes (all UTM/Gauss-Krüger zones, State Plane,
+# Web/W3984 Mercator, the European LCC/LAEA grids, polar products,
+# the national oblique grids) — an exotic code outside them fails fast
+# here with the closest supported family named.
+SUPPORTED_METHOD_SPELLINGS = (
+    "transversemercator", "gausskruger", "transversemercatorsouthorientated",
+    "popularvisualisationpseudomercator", "mercatorauxiliarysphere",
+    "mercatorvarianta", "mercator1sp", "mercator",
+    "mercatorvariantb", "mercator2sp",
+    "lambertazimuthalequalarea",
+    "albersequalarea", "albersconicequalarea", "albers",
+    "lambertconicconformal2sp", "lambertconformalconic2sp",
+    "lambertconformalconic", "lambertconicconformal1sp",
+    "polarstereographicvarianta", "polarstereographic",
+    "polarstereographicvariantb", "polarstereographicvariantc",
+    "cassinisoldner", "cassini",
+    "modifiedazimuthalequidistant", "azimuthalequidistant",
+    "robinson",
+    "americanpolyconic", "polyconic",
+    "equidistantcylindrical", "equirectangular",
+    "equidistantcylindricalspherical", "platecarree",
+    "obliquestereographic", "doublestereographic",
+    "hotineobliquemercatorvarianta", "hotineobliquemercator",
+    "hotineobliquemercatorvariantb", "obliquemercator",
+    "rectifiedskeworthomorphic",
+    "hotineobliquemercatorazimuthnaturalorigin",
+    "rectifiedskeworthomorphicnaturalorigin",
+    "hotineobliquemercatorazimuthcenter",
+    "rectifiedskeworthomorphiccenter",
+    "krovak", "krovaknorthorientated", "krovakeastnorth",
+    "orthographic", "sinusoidal", "sansonflamsteed",
+)
+
+
 class UnsupportedProjectionError(ValueError):
     def __init__(self, method: str):
+        import difflib
+        norm = re.sub(r"[^a-z0-9]", "", method.lower())
+        close = difflib.get_close_matches(
+            norm, SUPPORTED_METHOD_SPELLINGS, n=1, cutoff=0.6)
+        hint = (f"; nearest supported family: {close[0]!r} — if this is "
+                f"a spelling/variant of it, pass that method name"
+                if close else "")
         super().__init__(
             f"projection method {method!r} has no closed-form transform "
-            f"in this engine (supported: Transverse Mercator (+South "
-            f"Orientated), Mercator A/B, Pseudo-Mercator, LAEA, Albers, "
-            f"LCC 1SP/2SP, Polar Stereographic A/B/C, Cassini-Soldner, "
+            f"in this engine (supported families: Transverse Mercator "
+            f"(+South Orientated), Mercator A/B, Pseudo-Mercator, LAEA, "
+            f"Albers, LCC 1SP/2SP, Polar Stereographic A/B/C, "
+            f"Cassini-Soldner, (Modified) Azimuthal Equidistant, "
+            f"Equidistant Cylindrical / Plate Carrée, Polyconic, "
             f"Robinson, Oblique Stereographic, Hotine Oblique Mercator "
-            f"A/B, Krovak (+North Orientated))")
+            f"A/B / RSO, Krovak (+North Orientated), Orthographic, "
+            f"Sinusoidal — full table: docs/PROJECTIONS.md)"
+            f"{hint}")
         self.method = method
+        self.nearest = close[0] if close else None
 
 
 def _norm(name: str) -> str:
