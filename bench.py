@@ -176,23 +176,24 @@ def run_headline(sf_dir: str, cores: int) -> dict:
     here = os.path.dirname(os.path.abspath(__file__))
     probe = os.path.join(here, "tools", "scaling_probe.py")
     ladder_best: dict[int, float] = {}
-    try:
-        for _ in range(2):          # 2 interleaved passes, 1 trial each
-            for c in (8, 16, 32):
+    for _ in range(2):              # 2 interleaved passes, 1 trial each
+        for c in (8, 16, 32):
+            try:                    # per-level: one hung JVM loses one
                 d = _probe_json(_pin(c) + [sys.executable, probe,
-                                           str(c), pages, "1"])
-                dps = d["n_docs"] / min(d["times"])
-                ladder_best[c] = max(ladder_best.get(c, 0.0), dps)
-        for c, dps in ladder_best.items():
-            out[f"docs_per_sec_{c}c"] = round(dps, 1)
-        # best level across main session + ladder: the robust
-        # engine-capability headline under host phase noise (read with
-        # calibration_sec as the phase normalizer for cross-round
-        # comparisons; per-level fields above give the full ladder)
-        out["docs_per_sec_best"] = round(
-            max([docs_per_sec, *ladder_best.values()]), 1)
-    except Exception:
-        pass
+                                           str(c), pages, "1"],
+                                timeout=480, retries=1)
+            except Exception:
+                continue
+            dps = d["n_docs"] / min(d["times"])
+            ladder_best[c] = max(ladder_best.get(c, 0.0), dps)
+    for c, dps in ladder_best.items():
+        out[f"docs_per_sec_{c}c"] = round(dps, 1)
+    # best level across main session + ladder: the robust
+    # engine-capability headline under host phase noise (read with
+    # calibration_sec as the phase normalizer for cross-round
+    # comparisons; per-level fields above give the full ladder)
+    out["docs_per_sec_best"] = round(
+        max([docs_per_sec, *ladder_best.values()]), 1)
     # per-query best-of at the second level too (VERDICT r2 item 4:
     # "best-of per query per level") — full dict goes to the detail file,
     # NOT the final stdout line (VERDICT r5 item 2: r5's line outgrew the
@@ -261,10 +262,31 @@ def _pin(cores: int) -> list[str]:
     return []
 
 
-def _probe_json(cmd: list[str], timeout: int = 1200) -> dict:
-    p = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
-    line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+def _probe_json(cmd: list[str], timeout: int = 1200, retries: int = 2) -> dict:
+    """Run a probe subprocess and parse its one-JSON-line output.
+    Transient JVM deaths happen under the host's co-tenant pressure —
+    retry rather than abort a 20-minute measurement session."""
+    last_err = ""
+    for _ in range(retries + 1):
+        try:
+            p = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=timeout)
+        except subprocess.TimeoutExpired:
+            # a 32-thread local JVM occasionally livelocks under host
+            # memory/GC pressure — a hung probe is a failed trial, not a
+            # reason to lose the whole measurement session
+            last_err = f"timed out after {timeout}s"
+            print(f"probe {cmd[-3:]} {last_err}, retrying",
+                  file=sys.stderr)
+            continue
+        lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        if lines:
+            return json.loads(lines[-1])
+        last_err = p.stderr[-500:]
+        print(f"probe produced no JSON (rc={p.returncode}), retrying; "
+              f"stderr tail: {last_err}", file=sys.stderr)
+    raise RuntimeError(f"probe failed after {retries + 1} attempts: "
+                       f"{cmd}\n{last_err}")
 
 
 def run_scaling() -> None:
@@ -320,14 +342,25 @@ def run_scaling() -> None:
     jvm_eff = (jvm[lo]["best_sec"] / jvm[hi]["best_sec"]) / (hi / lo)
 
     # -- report-only 8 vs 32 flagship span next to its hardware ceiling --
+    # (best-effort: a 32-thread local JVM can livelock under host
+    # pressure; the gate above never depends on this section)
     span = {8: [], 32: []}
-    for _ in range(2):
-        for cores in (8, 32):
-            d = _probe_json(_pin(cores) + [sys.executable, probe,
-                                           str(cores), pages, "1"])
-            span[cores].extend(d["times"])
-    s8, s32 = min(span[8]), min(span[32])
-    span_eff = (s8 / s32) / 4.0
+    try:
+        for _ in range(2):
+            for cores in (8, 32):
+                d = _probe_json(_pin(cores) + [sys.executable, probe,
+                                               str(cores), pages, "1"],
+                                timeout=480, retries=1)
+                span[cores].extend(d["times"])
+        s8, s32 = min(span[8]), min(span[32])
+        span_eff = (s8 / s32) / 4.0
+        span_txt = (f"best 8c={s8}s ({n_docs / s8:.0f} docs/s), "
+                    f"32c={s32}s ({n_docs / s32:.0f} docs/s) → "
+                    f"{span_eff:.3f}")
+    except RuntimeError as exc:
+        s8 = s32 = None
+        span_eff = None
+        span_txt = f"unavailable this window ({exc.args[0].splitlines()[0]})"
 
     os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
     with open(os.path.join(here, "BENCH", "BASELINE.md"), "w") as f:
@@ -368,11 +401,9 @@ engine capability from host noise; raw trials below).
    Python/Arrow/engine code) at the same pinned levels:
    {lo}c best {jvm[lo]["best_sec"]}s / {hi}c best {jvm[hi]["best_sec"]}s
    → efficiency {jvm_eff:.3f}.
-3. **Flagship at pinned 8 vs 32 (reported, not gated)**: best
-   8c={s8}s ({n_docs / s8:.0f} docs/s), 32c={s32}s
-   ({n_docs / s32:.0f} docs/s) → {span_eff:.3f}, to be read against the
-   hardware ceiling in control 1 for the same span — the engine tracks
-   the hardware, the hardware stops at ~2.5x.
+3. **Flagship at pinned 8 vs 32 (reported, not gated)**: {span_txt},
+   to be read against the hardware ceiling in control 1 for the same
+   span — the engine tracks the hardware, the hardware stops at ~2.5x.
 
 ## Protocol (single source of truth, mirrored in BASELINE.md §Measurement)
 
@@ -390,7 +421,7 @@ hardware ceiling.
         f"docs_per_sec_{hi}": round(t_hi, 1),
         "hw_control_eff": round(hw_eff, 3),
         "jvm_control_eff": round(jvm_eff, 3),
-        "span_8_32_eff": round(span_eff, 3),
+        "span_8_32_eff": round(span_eff, 3) if span_eff else None,
         "hw_8_32_eff": round((hw_32 / hw_hi) / (32 / hi), 3)
         if hi == 8 else None,
     }))

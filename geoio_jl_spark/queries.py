@@ -2432,6 +2432,47 @@ GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# Q: bigram LM surprisal (operators/lm.py) — the CCNet/Gopher-style
+# perplexity quality filter: corpus-trained add-one-smoothed bigram
+# model, per-doc average surprisal.  Fixed-point per-bigram integers
+# (floor(-ln(p) * 1e6) computed once per distinct bigram, identical
+# IEEE ln/division on identical integers in both engines), integer
+# per-doc sums — deterministic under any partitioning.
+# ---------------------------------------------------------------------------
+
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoio_jl_spark.operators.lm import bigram_surprisal
+    docs = _read(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.expr(D.tokens_sql("text", "spark")).alias("t"))
+    return bigram_surprisal(d)
+
+
+def _sql_bigram_surprisal() -> str:
+    toks = D.tokens_sql("text", "duckdb")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS t FROM documents),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - 1)) AS i
+        FROM t WHERE len(t) >= 2)),
+m AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+u AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+v AS (SELECT count(DISTINCT w1) AS vocab FROM bg),
+s AS (SELECT w1, w2,
+             CAST(floor(-ln((c12 + 1.0) / (c1 + vocab)) * 1000000.0)
+                  AS BIGINT) AS sup_e6
+      FROM m JOIN u USING (w1), v)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(sup_e6) AS BIGINT) AS total_surprisal_e6,
+       CAST(sum(sup_e6) AS DOUBLE) / count(*) AS avg_surprisal_e6
+FROM bg JOIN s USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: corpus store CDC resolve (plans/store.py) — a deterministic 3-epoch
 # delta chain derived from the documents table is ingested into a
 # throwaway store, then read back through the merge-on-read resolve
@@ -2579,4 +2620,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "rd_new": (q_rd_new, _sql_rd_new()),
         # round-7: ann_signature rotated out (see store_resolve above)
         "ann_signature": (q_ann_signature, _sql_ann_signature()),
+        # round-7 addition (over-cap; gated by the pytest oracle sweep +
+        # tools/parity_check.py like every over-cap entry)
+        "bigram_surprisal": (q_bigram_surprisal, _sql_bigram_surprisal()),
     }
