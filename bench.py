@@ -176,12 +176,17 @@ def run_headline(sf_dir: str, cores: int) -> dict:
     here = os.path.dirname(os.path.abspath(__file__))
     probe = os.path.join(here, "tools", "scaling_probe.py")
     ladder_best: dict[int, float] = {}
+    # ladder probes run with spark.task.cpus=2 — the documented executor
+    # sizing for this pandas-UDF-heavy stage (each task pipelines a JVM
+    # thread + a Python worker; 1-CPU slots thrash at 32 slots: measured
+    # 36.8s vs 18.7s on identical input — see tools/scaling_probe.py)
+    env2 = {**os.environ, "GEOIO_TASK_CPUS": "2"}
     for _ in range(2):              # 2 interleaved passes, 1 trial each
         for c in (8, 16, 32):
             try:                    # per-level: one hung JVM loses one
                 d = _probe_json(_pin(c) + [sys.executable, probe,
                                            str(c), pages, "1"],
-                                timeout=480, retries=1)
+                                timeout=480, retries=1, env=env2)
             except Exception:
                 continue
             dps = d["n_docs"] / min(d["times"])
@@ -262,7 +267,8 @@ def _pin(cores: int) -> list[str]:
     return []
 
 
-def _probe_json(cmd: list[str], timeout: int = 1200, retries: int = 2) -> dict:
+def _probe_json(cmd: list[str], timeout: int = 1200, retries: int = 2,
+                env: dict | None = None) -> dict:
     """Run a probe subprocess and parse its one-JSON-line output.
     Transient JVM deaths happen under the host's co-tenant pressure —
     retry rather than abort a 20-minute measurement session."""
@@ -270,7 +276,7 @@ def _probe_json(cmd: list[str], timeout: int = 1200, retries: int = 2) -> dict:
     for _ in range(retries + 1):
         try:
             p = subprocess.run(cmd, capture_output=True, text=True,
-                               timeout=timeout)
+                               timeout=timeout, env=env)
         except subprocess.TimeoutExpired:
             # a 32-thread local JVM occasionally livelocks under host
             # memory/GC pressure — a hung probe is a failed trial, not a
@@ -319,8 +325,12 @@ def run_scaling() -> None:
     n_docs = 0
     for _ in range(rounds):
         for cores in (lo, hi):
+            # generous timeout: in the host's slowest co-tenant phase
+            # (~8x) a legitimate 2-CPU trial runs ~20 min; best-of
+            # discards it, but killing it would discard the round
             d = _probe_json(_pin(cores) + [sys.executable, probe,
-                                           str(cores), pages, "1"])
+                                           str(cores), pages, "1"],
+                            timeout=2700, retries=1)
             times[cores].extend(d["times"])
             n_docs = d["n_docs"]
             print(f"pinned[{cores}]: {d['times']}", file=sys.stderr)
@@ -342,15 +352,20 @@ def run_scaling() -> None:
     jvm_eff = (jvm[lo]["best_sec"] / jvm[hi]["best_sec"]) / (hi / lo)
 
     # -- report-only 8 vs 32 flagship span next to its hardware ceiling --
+    # run with spark.task.cpus=2 (the documented pandas-UDF executor
+    # sizing: each task pipelines a JVM thread + a Python worker, so
+    # 1-CPU slots oversubscribe 2x at high slot counts — measured 36.8s
+    # vs 18.7s at a pinned 32-CPU budget on identical input).
     # (best-effort: a 32-thread local JVM can livelock under host
     # pressure; the gate above never depends on this section)
+    env2 = {**os.environ, "GEOIO_TASK_CPUS": "2"}
     span = {8: [], 32: []}
     try:
         for _ in range(2):
             for cores in (8, 32):
                 d = _probe_json(_pin(cores) + [sys.executable, probe,
                                                str(cores), pages, "1"],
-                                timeout=480, retries=1)
+                                timeout=480, retries=1, env=env2)
                 span[cores].extend(d["times"])
         s8, s32 = min(span[8]), min(span[32])
         span_eff = (s8 / s32) / 4.0
@@ -393,17 +408,25 @@ engine capability from host noise; raw trials below).
 1. **Host hardware** (`tools/cpu_control.py`, plain Python busy-loop
    processes — no Spark/JVM/engine code): aggregate work-units/sec
    {lo}p={hw_lo:.2f}, {hi}p={hw_hi:.2f}, 32p={hw_32:.2f} →
-   hardware efficiency at the gate pairing {hw_eff:.3f}, and
-   {hi}→32 gives only {(hw_32 / hw_hi) / (32 / hi):.3f} — the 32 vCPUs
-   sit on roughly 16-20 physical cores' worth of silicon, so no engine
-   can reach 0.8 across the 8→32 span on this host.
+   hardware efficiency {hw_eff:.3f} at the gate pairing and
+   {(hw_32 / hw_hi) / (32 / hi):.3f} for {hi}→32 **in this window**.
+   The control is itself phase-exposed (per-core speed swings up to ~8x
+   over minutes on this host; best-of-{rounds} across the interleaved
+   window bounds but does not eliminate it), so read it as the
+   same-window envelope the engine competes against, not a constant of
+   the machine.  Across windows the 8→32 hardware span has measured
+   0.62-0.78: the 32 vCPUs deliver roughly 2.5-3.1x the throughput of 8
+   busy cores (SMT-shared silicon).
 2. **Pure-JVM Spark** (`tools/jvm_control.py`, codegen range-agg, no
    Python/Arrow/engine code) at the same pinned levels:
    {lo}c best {jvm[lo]["best_sec"]}s / {hi}c best {jvm[hi]["best_sec"]}s
    → efficiency {jvm_eff:.3f}.
 3. **Flagship at pinned 8 vs 32 (reported, not gated)**: {span_txt},
-   to be read against the hardware ceiling in control 1 for the same
-   span — the engine tracks the hardware, the hardware stops at ~2.5x.
+   with spark.task.cpus=2 — the engine's documented executor sizing for
+   pandas-UDF-heavy stages (each task pipelines a JVM thread + a Python
+   worker; 1-CPU slots oversubscribe 2x at 32 slots: measured 36.8s vs
+   18.7s on identical input).  Read against control 1's hardware
+   envelope for the same span.
 
 ## Protocol (single source of truth, mirrored in BASELINE.md §Measurement)
 

@@ -44,9 +44,19 @@ def main():
     cores = int(sys.argv[1])
     path = sys.argv[2]
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    # Executor sizing for pandas-UDF-heavy stages: every task runs a JVM
+    # thread AND a Python worker concurrently (the Arrow batches
+    # pipeline), so a slot should budget 2 CPUs — exactly what
+    # spark.task.cpus=2 declares on a real cluster.  Measured on the
+    # 16M-doc flagship at a pinned 32-CPU budget: task.cpus=2 18.65s vs
+    # task.cpus=1 36.83s (2x — 32 JVM threads + 32 Python workers on 32
+    # CPUs thrash); neutral at 8 CPUs (39.2 vs 37.8s) and below.
+    task_cpus = int(os.environ.get("GEOIO_TASK_CPUS", "1"))
     spark = get_spark(
         f"scaling{cores}", cores=cores, driver_memory="24g",
+        shuffle_partitions=max(cores // task_cpus, 8),
         extra_conf={"spark.ui.showConsoleProgress": "false",
+                    "spark.task.cpus": str(task_cpus),
                     "spark.sql.execution.arrow.maxRecordsPerBatch": "50000"})
     n_docs = spark.read.parquet(path).count()
     pipeline(spark, path).collect()  # warm
