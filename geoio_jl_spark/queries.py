@@ -2432,6 +2432,54 @@ GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# Q: per-domain fair-share cap — the crawl-pipeline downsampler that
+# keeps at most K docs per registered domain so megasites cannot
+# dominate a training mix.  Deterministic: rank within domain by a
+# multiplicative integer mix of doc_id (the repo's lattice precedent —
+# exact in both engines; xxhash64 would be Spark-only), tie-broken by
+# doc_id.  One partitioned window (never global), the textbook per-key
+# top-k at any scale.
+# ---------------------------------------------------------------------------
+
+_DOMAIN_CAP = 5
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geoio_jl_spark.functions import urls as U
+    docs = _read(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.expr(U.raw_url_sql("doc_id", "spark")).alias("url"))
+    d = d.withColumn("domain", F.expr(U.host_sql("url", "spark")))
+    # deterministic pseudo-random rank: multiplicative mix of doc_id
+    # (the repo's lattice-mix precedent), tie-broken by doc_id
+    d = d.withColumn("rk", (F.col("doc_id") * 2654435761) % 1000003)
+    w = Window.partitionBy("domain").orderBy("rk", "doc_id")
+    return (d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _DOMAIN_CAP)
+            .select("doc_id", "domain",
+                    F.col("rn").cast("int").alias("rank_in_domain")))
+
+
+def _sql_domain_cap() -> str:
+    from geoio_jl_spark.functions import urls as U
+    url = U.raw_url_sql("doc_id", "duckdb")
+    host = U.host_sql("url", "duckdb")
+    return f"""
+WITH d AS (
+  SELECT doc_id, {host} AS domain,
+         (doc_id * 2654435761) % 1000003 AS rk
+  FROM (SELECT doc_id, {url} AS url FROM documents)
+)
+SELECT doc_id, domain,
+       CAST(row_number() OVER (PARTITION BY domain ORDER BY rk, doc_id)
+            AS INT) AS rank_in_domain
+FROM d
+QUALIFY rank_in_domain <= {_DOMAIN_CAP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: bigram LM surprisal (operators/lm.py) — the CCNet/Gopher-style
 # perplexity quality filter: corpus-trained add-one-smoothed bigram
 # model, per-doc average surprisal.  Fixed-point per-bigram integers
@@ -2620,7 +2668,8 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "rd_new": (q_rd_new, _sql_rd_new()),
         # round-7: ann_signature rotated out (see store_resolve above)
         "ann_signature": (q_ann_signature, _sql_ann_signature()),
-        # round-7 addition (over-cap; gated by the pytest oracle sweep +
+        # round-7 additions (over-cap; gated by the pytest oracle sweep +
         # tools/parity_check.py like every over-cap entry)
         "bigram_surprisal": (q_bigram_surprisal, _sql_bigram_surprisal()),
+        "domain_cap": (q_domain_cap, _sql_domain_cap()),
     }
