@@ -2480,6 +2480,45 @@ QUALIFY rank_in_domain <= {_DOMAIN_CAP}
 
 
 # ---------------------------------------------------------------------------
+# Q: exact per-source length median (corpus-card extension) — the
+# dataset-curation sanity stat ("did source X's length distribution
+# shift?") computed EXACTLY, not approx_percentile: rank lengths inside
+# each source (one partitioned window — the per-key top-k shape again,
+# cheap because groups are sources) and pick the lower median
+# k = (n+1) div 2 by definition, identical expression in both engines
+# so no percentile-semantics ambiguity exists to diverge on.
+# ---------------------------------------------------------------------------
+
+def q_source_median_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    d = docs.select("source", F.length("text").alias("len"))
+    # ties in `len` make rn assignment among equal lengths arbitrary,
+    # but the k-th smallest LENGTH is well-defined either way and only
+    # the length is projected — so ORDER BY len alone is deterministic
+    # for this output in both engines
+    w = Window.partitionBy("source").orderBy("len")
+    d = d.withColumn("rn", F.row_number().over(w)) \
+         .withColumn("n", F.count("*").over(Window.partitionBy("source")))
+    return (d.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            .select("source",
+                    F.col("len").cast("bigint").alias("median_len"),
+                    F.col("n").cast("bigint").alias("n_docs")))
+
+
+_SQL_SOURCE_MEDIAN_LEN = """
+WITH d AS (
+  SELECT source, length(text) AS len,
+         row_number() OVER (PARTITION BY source ORDER BY len) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source, CAST(len AS BIGINT) AS median_len,
+       CAST(n AS BIGINT) AS n_docs
+FROM d WHERE rn = (n + 1) // 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: bigram LM surprisal (operators/lm.py) — the CCNet/Gopher-style
 # perplexity quality filter: corpus-trained add-one-smoothed bigram
 # model, per-doc average surprisal.  Fixed-point per-bigram integers
@@ -2672,4 +2711,5 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         # tools/parity_check.py like every over-cap entry)
         "bigram_surprisal": (q_bigram_surprisal, _sql_bigram_surprisal()),
         "domain_cap": (q_domain_cap, _sql_domain_cap()),
+        "source_median_len": (q_source_median_len, _SQL_SOURCE_MEDIAN_LEN),
     }
