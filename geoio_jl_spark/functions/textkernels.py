@@ -69,7 +69,7 @@ _PAGE_SCHEMA = StructType([
 
 
 @pandas_udf(_PAGE_SCHEMA)
-def extract_page(html: pd.Series) -> pd.DataFrame:
+def _extract_page_det(html: pd.Series) -> pd.DataFrame:
     """Fused kernel: text + geotag in ONE Arrow crossing (html ships to
     Python once; byte-level finds, no JVM regex over the payload)."""
     texts = _extract_series(html)
@@ -98,6 +98,16 @@ def extract_page(html: pd.Series) -> pd.DataFrame:
         "lat": tags.map(lambda t: t[0]),
         "lon": tags.map(lambda t: t[1]),
     })
+
+
+# The kernel IS deterministic, but Catalyst must be told not to duplicate
+# it: left deterministic, CollapseProject inlines the struct-returning UDF
+# into every field access and pushed-down inferred isnotnull join-key
+# filters re-evaluate it below the projection — the executed flagship plan
+# ran FOUR ArrowEvalPython crossings of the dominant kernel instead of one
+# (optimization guide §4.4).  asNondeterministic() pins one evaluation;
+# tests/test_flagship_plan.py asserts the single crossing.
+extract_page = _extract_page_det.asNondeterministic()
 
 
 def geotag_lat(html_str: Column) -> Column:

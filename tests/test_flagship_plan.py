@@ -22,6 +22,10 @@ def test_flagship_plan_shape(spark, tmp_path):
     df = pipeline(spark, path)
     df.collect()                               # force AQE final plan
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # AdaptiveSparkPlan.toString() prints BOTH the final and the initial
+    # plan after execution; only the final section is what ran.
+    if "== Initial Plan ==" in plan:
+        plan = plan.split("== Initial Plan ==")[0]
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "BatchEvalPython" not in plan       # no row-at-a-time Python
     assert "BroadcastHashJoin" in plan
