@@ -24,8 +24,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _gram_col(text_col: str, n: int):
-    toks = F.split(F.col(text_col), " ")
+def _gram_arr(toks_col: str, n: int):
+    """n-gram windows over an ALREADY-materialized token array column.
+    (Inlining ``split`` here would re-tokenize the text inside the
+    lambda for every gram position — O(tokens²) per doc; the two-step
+    projection is the guaranteed-linear shape, same lesson as
+    operators/dedup.exploded_shingles.)"""
+    toks = F.col(toks_col)
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -38,7 +43,8 @@ def eval_ngrams(bench: DataFrame, n: int,
                 text_col: str = "text") -> DataFrame:
     """Distinct token n-grams of the (small) evaluation corpus."""
     return (bench
-            .select(F.explode(_gram_col(text_col, n)).alias("gram"))
+            .select(F.split(F.col(text_col), " ").alias("_toks"))
+            .select(F.explode(_gram_arr("_toks", n)).alias("gram"))
             .distinct())
 
 
@@ -48,8 +54,11 @@ def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 8,
     """→ (id, n_overlap, contaminated): distinct eval n-grams found in
     each training doc, and a 0/1 flag."""
     grams = eval_ngrams(bench, n, text_col)
-    exploded = docs.select(
-        F.col(id_col), F.explode(_gram_col(text_col, n)).alias("gram"))
+    exploded = (docs
+                .select(F.col(id_col),
+                        F.split(F.col(text_col), " ").alias("_toks"))
+                .select(F.col(id_col),
+                        F.explode(_gram_arr("_toks", n)).alias("gram")))
     if use_hash:
         grams = grams.select(F.xxhash64("gram").alias("gh")).distinct()
         exploded = exploded.select(id_col, F.xxhash64("gram").alias("gh"))

@@ -201,26 +201,58 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     materialized via ``localCheckpoint`` (plan truncation + block
     reuse, auto-freed when the RDD is GC'd — same pattern as
     operators/components.py; no CacheManager entry to leak across
-    calls).  Per-shingle pair fanout is bounded by max_df²/2."""
-    sh = exploded_shingles(docs, text_col, id_col).distinct()
+    calls).  Per-shingle pair fanout is bounded by max_df²/2.
+
+    r8 shuffle diet (guide §2.3/§2.4): ``collect_set`` already dedups
+    (sh, id), so the old ``.distinct()`` shuffle of every posting is
+    gone outright; and when the id range provably fits in 31 bits (one
+    tiny min/max agg over the id column) each (id_a, id_b) pair is
+    packed into ONE bigint through the quadratic explode + count —
+    half the bytes and a single-long hash key in the dominant
+    aggregate, unpacked only after counting."""
+    sh = exploded_shingles(docs, text_col, id_col)
     buckets = (sh.groupBy("sh")
                .agg(F.sort_array(F.collect_set(id_col)).alias("ids")))
     if max_df is not None:
         buckets = buckets.filter(F.size("ids") <= max_df)
-    # i<j pairs (inter contributions) ++ diagonal (a,a) rows (each doc
-    # in the bucket once → per-doc kept-shingle counts, i.e. n_sh)
-    contrib_sql = (
-        "concat("
-        "flatten(transform(ids, (a, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), "
-        "b -> struct(a AS id_a, b AS id_b)))), "
-        "transform(ids, a -> struct(a AS id_a, a AS id_b)))"
-    )
-    g = (buckets.select(F.explode(F.expr(contrib_sql)).alias("p"))
-         .groupBy(F.col("p.id_a").alias("id_a"),
-                  F.col("p.id_b").alias("id_b"))
-         .agg(F.count("*").alias("cnt"))
-         .localCheckpoint(eager=False))
+    bounds = docs.agg(F.min(id_col).alias("lo"),
+                      F.max(id_col).alias("hi")).first()
+    packable = (bounds["lo"] is not None and int(bounds["lo"]) >= 0
+                and int(bounds["hi"]) < (1 << 31))
+    if packable:
+        # i<j pairs ++ diagonal (a,a) rows, packed a*2^32+b (exact:
+        # 0 <= a <= b < 2^31 keeps the product under 2^63, ANSI-safe)
+        contrib_sql = (
+            "concat("
+            "flatten(transform(ids, (a, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), "
+            "b -> a * 4294967296L + b))), "
+            "transform(ids, a -> a * 4294967296L + a))"
+        )
+        id_type = docs.schema[id_col].dataType
+        g = (buckets.select(F.explode(F.expr(contrib_sql)).alias("k"))
+             .groupBy("k")
+             .agg(F.count("*").alias("cnt"))
+             .select(F.shiftright("k", 32).cast(id_type).alias("id_a"),
+                     F.col("k").bitwiseAND(F.lit(4294967295))
+                     .cast(id_type).alias("id_b"),
+                     "cnt")
+             .localCheckpoint(eager=False))
+    else:
+        # i<j pairs (inter contributions) ++ diagonal (a,a) rows (each
+        # doc in the bucket once → per-doc kept-shingle counts = n_sh)
+        contrib_sql = (
+            "concat("
+            "flatten(transform(ids, (a, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), "
+            "b -> struct(a AS id_a, b AS id_b)))), "
+            "transform(ids, a -> struct(a AS id_a, a AS id_b)))"
+        )
+        g = (buckets.select(F.explode(F.expr(contrib_sql)).alias("p"))
+             .groupBy(F.col("p.id_a").alias("id_a"),
+                      F.col("p.id_b").alias("id_b"))
+             .agg(F.count("*").alias("cnt"))
+             .localCheckpoint(eager=False))
     diag = g.filter(F.col("id_a") == F.col("id_b")).select(
         F.col("id_a").alias("id"), F.col("cnt").alias("n_sh"))
     pairs = (g.filter((F.col("id_a") < F.col("id_b"))
@@ -234,6 +266,19 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         .select("id_a", "id_b", "inter",
                 (F.col("na") + F.col("nb") - F.col("inter")).alias("uni"))
     )
+
+
+def _chunk_arr(toks_col: str, chunk_len: int):
+    """Consecutive ``chunk_len``-token windows (ragged tail dropped)
+    over an ALREADY-materialized token array column — linear in tokens
+    (inlining the tokenizer here re-splits the text per chunk)."""
+    toks = F.col(toks_col)
+    n = (F.size(toks) / chunk_len).cast("int")
+    return F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_len + 1, chunk_len), " "))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def chunk_dup_stats(docs: DataFrame, chunk_len: int = 3,
@@ -251,15 +296,21 @@ def chunk_dup_stats(docs: DataFrame, chunk_len: int = 3,
     chunk join key hot — AQE skew-join splits it (the join carries only
     (chunk, df), no payload), and the final per-doc aggregate is
     uniform in |doc|.
+
+    r8: the tokenizer is materialized as a REAL column before the chunk
+    transform (an inlined ``split`` is re-evaluated inside the lambda
+    for every chunk position — O(tokens²) per doc; same lesson as
+    ``exploded_shingles``), and the exploded chunk table is
+    localCheckpoint'd so the df-count branch and the join-back branch
+    share ONE tokenize+explode pass instead of re-running it.
     """
-    toks = F.split(F.col(text_col), " ")
-    n = (F.size(toks) / chunk_len).cast("int")
-    chunks = F.when(n > 0, F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.array_join(
-            F.slice(toks, i * chunk_len + 1, chunk_len), " "))
-    ).otherwise(F.array().cast("array<string>"))
-    exploded = docs.select(F.col(id_col), F.explode(chunks).alias("chunk"))
+    exploded = (docs
+                .select(F.col(id_col),
+                        F.split(F.col(text_col), " ").alias("_toks"))
+                .select(F.col(id_col),
+                        F.explode(_chunk_arr("_toks", chunk_len))
+                        .alias("chunk"))
+                .localCheckpoint(eager=False))
     df_counts = (exploded.groupBy("chunk")
                  .agg(F.count_distinct(id_col).alias("df")))
     per_doc = (exploded.join(df_counts, "chunk")
@@ -293,29 +344,37 @@ def remove_dup_chunks(docs: DataFrame, chunk_len: int = 3,
     pure built-ins (split / filter-with-index / slice / concat_ws —
     whole-stage codegen, no Python crossing).  Invariant (tested):
     clean tokens ⊎ removed-chunk tokens == original tokens per doc.
+
+    r8: the tokenizer and the chunk array are materialized as REAL
+    columns wherever a lambda iterates over them (an inlined ``split``
+    re-runs per chunk position — O(tokens²) per doc), and the exploded
+    chunk table is localCheckpoint'd so the df-count branch and the
+    dup-position branch share one tokenize+explode pass.
     """
-    toks = F.split(F.col(text_col), " ")
-    n = (F.size(toks) / chunk_len).cast("int")
-    chunk_arr = F.when(n > 0, F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.array_join(
-            F.slice(toks, i * chunk_len + 1, chunk_len), " "))
-    ).otherwise(F.array().cast("array<string>"))
-    exploded = docs.select(
-        F.col(id_col), F.posexplode(chunk_arr).alias("pos", "chunk"))
+    exploded = (docs
+                .select(F.col(id_col),
+                        F.split(F.col(text_col), " ").alias("_toks"))
+                .select(F.col(id_col),
+                        F.posexplode(_chunk_arr("_toks", chunk_len))
+                        .alias("pos", "chunk"))
+                .localCheckpoint(eager=False))
     dup_chunks = (exploded.groupBy("chunk")
                   .agg(F.count_distinct(id_col).alias("df"))
                   .filter(F.col("df") >= 2).select("chunk"))
     dup_pos = (exploded.join(dup_chunks, "chunk")
                .groupBy(id_col)
                .agg(F.sort_array(F.collect_set("pos")).alias("dpos")))
-    base = docs.join(dup_pos, id_col, "left").withColumn(
-        "dpos", F.coalesce("dpos", F.array().cast("array<int>")))
+    base = (docs.join(dup_pos, id_col, "left")
+            .withColumn("dpos", F.coalesce("dpos",
+                                           F.array().cast("array<int>")))
+            .withColumn("_toks", F.split(F.col(text_col), " "))
+            .withColumn("_chunks", _chunk_arr("_toks", chunk_len)))
+    n = (F.size("_toks") / chunk_len).cast("int")
     kept_str = F.array_join(
-        F.filter(chunk_arr, lambda c, i: ~F.array_contains("dpos", i)),
-        " ")
+        F.filter(F.col("_chunks"),
+                 lambda c, i: ~F.array_contains("dpos", i)), " ")
     tail_str = F.array_join(
-        F.slice(toks, n * chunk_len + 1, F.size(toks)), " ")
+        F.slice(F.col("_toks"), n * chunk_len + 1, F.size("_toks")), " ")
     return base.select(
         F.col(id_col),
         F.concat_ws(" ", F.nullif(kept_str, F.lit("")),

@@ -512,7 +512,12 @@ def image_hashes(df: DataFrame, col: str = "image",
                 outv.append(None)
         return pd.Series(outv, dtype="object")
 
-    return df.withColumn(out, _hash(F.col(col)))
+    # deterministic, but Catalyst must not duplicate it: downstream
+    # isnotnull filters on the hash column otherwise push BELOW the
+    # projection and re-run the whole decode+hash chain (and any
+    # upstream generator UDF it is fused with) a second time — the r8
+    # plan audit measured exactly that doubling (guide §4.4)
+    return df.withColumn(out, _hash.asNondeterministic()(F.col(col)))
 
 
 def image_neardup_pairs(df: DataFrame, col: str = "image",
@@ -528,7 +533,25 @@ def image_neardup_pairs(df: DataFrame, col: str = "image",
     (the round-5 dedup shape): one hash computation, groupBy(band,
     value) → sorted (id, hash) lists → explode i<j pairs →
     ``bit_count(xor) <= max_hamming`` — never a hash self-join.
-    → (id_a, id_b, hamming)."""
+    → (id_a, id_b, hamming).
+
+    r8 rework (was: groupBy-bucket → sorted member list → interpreted
+    ``transform``/``slice`` pair explode → full-shuffle ``.distinct``):
+
+    * the hash table is localCheckpoint'd ONCE, so the two sides of a
+      plain (band, val) equi-self-join read the materialized 16-byte
+      rows instead of re-running the decode+hash UDF per side (the
+      double-computation that originally forced the bucket-list shape);
+    * candidate pairs are enumerated by the codegen hash join itself —
+      no interpreted lambda, no per-bucket O(n²) array slicing, and a
+      hot bucket is a skewed JOIN key that AQE can split, where the old
+      single giant bucket-array row could not be;
+    * a qualifying pair agrees on every band in a non-empty set M and
+      used to be emitted |M| times then deduped with a full shuffle
+      ``.distinct()``; keeping a pair only in its FIRST matching band
+      (both members sit in that bucket by definition) emits each pair
+      exactly once, so the distinct shuffle is gone (guide §2.4).
+    Same rows out."""
     if max_hamming >= bands:
         raise ValueError(
             f"max_hamming={max_hamming} needs > {max_hamming} bands for "
@@ -539,26 +562,29 @@ def image_neardup_pairs(df: DataFrame, col: str = "image",
     mask = (1 << width) - 1
     hashed = (image_hashes(df, col, kind, "h")
               .filter(F.col("h").isNotNull())
-              .select(id_col, "h"))
+              .select(id_col, "h")
+              .localCheckpoint(eager=False))
     band_arr = F.array(*[
         F.shiftrightunsigned(F.col("h"), b * width).bitwiseAND(F.lit(mask))
         for b in range(bands)
     ])
     allb = hashed.select(id_col, "h",
                          F.posexplode(band_arr).alias("band", "val"))
-    buckets = (allb.groupBy("band", "val")
-               .agg(F.sort_array(F.collect_set(F.struct(
-                   F.col(id_col).alias("id"), F.col("h").alias("h"))))
-                   .alias("ms"))
-               .filter(F.size("ms") > 1))
-    pair_sql = (
-        "flatten(transform(ms, (a, i) -> "
-        "transform(slice(ms, i + 2, size(ms)), "
-        "b -> struct(a.id AS id_a, b.id AS id_b, a.h AS ha, b.h AS hb))))"
-    )
-    return (buckets.select(F.explode(F.expr(pair_sql)).alias("p"))
-            .select("p.id_a", "p.id_b",
-                    F.bit_count(F.col("p.ha").bitwiseXOR(F.col("p.hb")))
-                    .alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming)
-            .distinct())
+    left = allb.select(F.col(id_col).alias("id_a"),
+                       F.col("h").alias("ha"), "band", "val")
+    right = allb.select(F.col(id_col).alias("id_b"),
+                        F.col("h").alias("hb"), "band", "val")
+    xor = F.col("ha").bitwiseXOR(F.col("hb"))
+    first_band = F.lit(None).cast("int")
+    for b in range(bands - 1, -1, -1):
+        band_clean = (F.shiftrightunsigned(xor, b * width)
+                      .bitwiseAND(F.lit(mask)) == 0)
+        first_band = F.when(band_clean, F.lit(b)).otherwise(first_band)
+    # conjunct order matters: the single-instruction popcount rejects
+    # ~all random band collisions before the 8-step first-band CASE
+    # chain ever runs (predicates evaluate left-to-right)
+    return (left.join(right, ["band", "val"])
+            .filter((F.col("id_a") < F.col("id_b"))
+                    & (F.bit_count(xor) <= max_hamming)
+                    & (F.col("band") == first_band))
+            .select("id_a", "id_b", F.bit_count(xor).alias("hamming")))

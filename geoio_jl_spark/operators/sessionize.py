@@ -62,21 +62,30 @@ def sessionize_events(ev: DataFrame, gap_us: int,
                   F.min(ts_col).alias("_tmin"),
                   F.max(ts_col).alias("_tmax"))
              .filter(F.col("_n") > hot_threshold)
-             .select(user_col, "_tmin", "_tmax"))
+             .select(user_col, "_n", "_tmin", "_tmax"))
     tagged = ev.join(F.broadcast(stats), user_col, "left")
 
     cold = _plain(tagged.filter(F.col("_tmin").isNull())).select(
         *cols, "sess_id")
 
     hot = tagged.filter(F.col("_tmin").isNotNull())
+    # per-user ADAPTIVE bucket count (r8): ceil(_n / hot_threshold)
+    # buckets capped at n_buckets — a user just over the threshold gets
+    # 2 buckets instead of always n_buckets, so the per-bucket summary
+    # tables (carry/base) and the window-group count scale with the
+    # user's actual size instead of ×n_buckets for everyone; a 10⁷-event
+    # bot still caps at n_buckets.  Bucket boundaries never change the
+    # emitted sess_id (the renumbering is bucket-agnostic — tested).
+    nb = F.least(F.lit(n_buckets),
+                 F.ceil(F.col("_n") / F.lit(max(hot_threshold, 1)))
+                 .cast("int"))
     # monotonic time-range bucket (double math only picks the split
     # point; ordering inside a bucket still uses the exact ts column)
     span = (F.col("_tmax") - F.col("_tmin")).cast("double") + F.lit(1.0)
     frac = (F.col(ts_col) - F.col("_tmin")).cast("double") / span
     hot = hot.withColumn(
         "_bkt",
-        F.least(F.floor(frac * n_buckets).cast("int"),
-                F.lit(n_buckets - 1)))
+        F.least(F.floor(frac * nb).cast("int"), nb - F.lit(1)))
 
     # previous bucket's last-event ts (ts is monotone across buckets, so
     # max over strictly-earlier buckets == last); ≤ n_buckets rows/user

@@ -789,18 +789,25 @@ _DOT = (
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    cand = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    # r8: both norm folds hoisted OUT of the |emb| × |queries| cross
+    # product — the candidate-side norm runs once per vector (not once
+    # per (query, vector)) and the query-side norm once per query row
+    # before the broadcast; only the cross dot stays per-pair.  Same
+    # doubles, same cos (identical fold expression, evaluated earlier).
+    scored = emb.withColumn(
+        "_na", F.expr(_DOT.format(a="embedding", b="embedding")))
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qe"))
+               .withColumn("_nb", F.expr(_DOT.format(a="qe", b="qe"))))
+    cand = scored.join(F.broadcast(queries),
+                       F.col("vec_id") != F.col("query_id"))
     dot = F.expr(_DOT.format(a="embedding", b="qe"))
-    na = F.expr(_DOT.format(a="embedding", b="embedding"))
-    nb = F.expr(_DOT.format(a="qe", b="qe"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
     )
     return (
-        cand.withColumn("cos", dot / (F.sqrt(na) * F.sqrt(nb)))
+        cand.withColumn("cos", dot / (F.sqrt("_na") * F.sqrt("_nb")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("query_id", "vec_id", "cos", "rank")
@@ -1061,22 +1068,33 @@ SQL_BPE_TOKENS = (
 # ---------------------------------------------------------------------------
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from geoio_jl_spark.operators.similarity import ann_candidate_pairs
+    from geoio_jl_spark.operators.similarity import lsh_signature_sql
     emb = _read(spark, sf_dir, "embeddings")
-    cand = ann_candidate_pairs(emb).drop("sig")
-    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
-    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    # r8 plan diet: signature (16 interpreted fold-dots) and the squared
+    # norm are computed ONCE per vector into a localCheckpoint'd table;
+    # the old shape computed sig on both join sides and re-ran the norm
+    # fold per candidate pair, and fetched vectors back through two extra
+    # equi-joins.  The self-join below carries the vectors, so the only
+    # per-pair fold left is the cross dot — the one that is genuinely
+    # per-pair.  Still hint-free: at 100 TB the embeddings relation
+    # never fits a broadcast, AQE may pick one at runtime when small
+    # (tests/test_similarity.py::test_embedding_near_dup_plan_no_broadcast).
+    sig_tbl = (emb.select(
+        "vec_id", "embedding",
+        F.expr(lsh_signature_sql("embedding", "spark")).alias("sig"),
+        F.expr(_DOT.format(a="embedding", b="embedding")).alias("_n2"))
+        .localCheckpoint(eager=False))
+    a = sig_tbl.select(F.col("vec_id").alias("id_a"),
+                       F.col("embedding").alias("e_a"),
+                       "sig", F.col("_n2").alias("_na"))
+    b = sig_tbl.select(F.col("vec_id").alias("id_b"),
+                       F.col("embedding").alias("e_b"),
+                       "sig", F.col("_n2").alias("_nb"))
     dot = F.expr(_DOT.format(a="e_a", b="e_b"))
-    na = F.expr(_DOT.format(a="e_a", b="e_a"))
-    nb = F.expr(_DOT.format(a="e_b", b="e_b"))
-    # Plain equi-joins: at 100 TB the embeddings table never fits in a
-    # broadcast, so the vector fetch must be a shuffle join (AQE picks
-    # broadcast on its own when the side happens to be small).  VERDICT
-    # r6 item 4; plan asserted broadcast-free in
-    # tests/test_similarity.py::test_embedding_near_dup_plan_no_broadcast.
     return (
-        cand.join(ea, "id_a").join(eb, "id_b")
-        .withColumn("cos", dot / (F.sqrt(na) * F.sqrt(nb)))
+        a.join(b, "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot / (F.sqrt("_na") * F.sqrt("_nb")))
         .filter(F.col("cos") >= 0.25)
         .select("id_a", "id_b", "cos")
     )
@@ -1157,6 +1175,10 @@ def _sql_url_dup_groups() -> str:
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geoio_jl_spark.operators.dedup import shingles_from_tokens
     docs = _read(spark, sf_dir, "documents")
+    # r8 note: a kind-tagged single-explode rewrite (one scan, one
+    # groupBy, no join) was measured SLOWER at the 10x proxy scale
+    # (9.6s vs 6.9s) — the per-term struct-wrapping transform costs more
+    # than the second scan it saves — so the two-branch shape stays.
     toked = docs.select(
         "doc_id", F.expr(D.tokens_sql("text", "spark")).alias("toks"))
     words = toked.select("doc_id", F.explode("toks").alias("w"))
