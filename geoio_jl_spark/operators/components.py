@@ -23,8 +23,12 @@ from pyspark.sql import functions as F
 
 
 def _symmetrize(e: DataFrame) -> DataFrame:
+    # No .distinct() here (r8): duplicate edges cannot change a
+    # groupBy-min, and both star steps end in their own .distinct(), so
+    # the per-round edge set is identical — dropping it removes two
+    # full-edge shuffles per iteration (guide §2.4).
     return e.union(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
 
 def _large_star(e: DataFrame) -> DataFrame:

@@ -2474,8 +2474,15 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(U.raw_url_sql("doc_id", "spark")).alias("url"))
     d = d.withColumn("domain", F.expr(U.host_sql("url", "spark")))
     # deterministic pseudo-random rank: multiplicative mix of doc_id
-    # (the repo's lattice-mix precedent), tie-broken by doc_id
-    d = d.withColumn("rk", (F.col("doc_id") * 2654435761) % 1000003)
+    # (the repo's lattice-mix precedent), tie-broken by doc_id.
+    # Reduced BEFORE multiplying (ADVICE r7): (a*b) % m == ((a%m)*(b%m)) % m
+    # exactly, but the left form overflows int64 once doc_id > ~3.47e9 —
+    # Spark (non-ANSI) would silently wrap while the oracle errors; the
+    # reduced form keeps the product < 1000003 * 2654435761 < 2^62 at any
+    # doc_id.  Identical values at every scale the oracle can run.
+    d = d.withColumn(
+        "rk", ((F.col("doc_id") % 1000003) * (2654435761 % 1000003))
+        % 1000003)
     w = Window.partitionBy("domain").orderBy("rk", "doc_id")
     return (d.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= _DOMAIN_CAP)

@@ -21,11 +21,15 @@ def read_obj(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     txt = spark.read.text(path).withColumn(
         "lid", F.monotonically_increasing_id())
     toks = F.split(F.trim(F.col("value")), r"\s+")
+    # dense ids in line order via the two-phase distributed rank — no
+    # single-partition global Window (r8, VERDICT r7 item 5)
+    from geoio_jl_spark.operators.packing import global_row_ids
     verts = (
-        txt.filter(F.col("value").startswith("v "))
-        .select("lid", toks.alias("t"))
+        global_row_ids(txt.filter(F.col("value").startswith("v "))
+                       .select("lid", toks.alias("t")),
+                       ["lid"], out="vid")
         .select(
-            F.row_number().over(Window.orderBy("lid")).alias("vid"),
+            "vid",
             F.element_at("t", 2).cast("double").alias("x"),
             F.element_at("t", 3).cast("double").alias("y"),
             F.element_at("t", 4).cast("double").alias("z"),
@@ -33,10 +37,11 @@ def read_obj(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     )
     nverts = verts.count()
     faces = (
-        txt.filter(F.col("value").startswith("f "))
-        .select("lid", toks.alias("t"))
+        global_row_ids(txt.filter(F.col("value").startswith("f "))
+                       .select("lid", toks.alias("t")),
+                       ["lid"], out="eid")
         .select(
-            F.row_number().over(Window.orderBy("lid")).alias("eid"),
+            "eid",
             F.expr(
                 # strip `f`, take the index before any `/`, fix negatives
                 # (obj.jl:32-40)

@@ -83,9 +83,10 @@ def read(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
         data_col = (name, vals)
 
     nodes = spark.createDataFrame(nodes_pdf)
-    # dense vertex ids ordered by tag (deterministic)
-    from pyspark.sql import Window
-    nodes = nodes.withColumn("vid", F.row_number().over(Window.orderBy("tag")))
+    # dense vertex ids ordered by tag — two-phase distributed rank, not
+    # a single-partition global Window (r8, VERDICT r7 item 5)
+    from geoio_jl_spark.operators.packing import global_row_ids
+    nodes = global_row_ids(nodes, ["tag"], out="vid")
     if data_col is not None:
         name, vals = data_col
         mapping = spark.createDataFrame(

@@ -74,10 +74,14 @@ def read(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
         F.col("xyz")[0].alias("x"), F.col("xyz")[1].alias("y"),
         F.col("xyz")[2].alias("z"),
     )
-    # distinct-vertex set (A4) + dense id assignment
+    # distinct-vertex set (A4) + dense id assignment in (x, y, z) order
+    # — two-phase distributed rank (operators/packing.global_row_ids),
+    # not a single-partition global Window (r8, VERDICT r7 item 5):
+    # same vids, no unpartitioned WindowExec
+    from geoio_jl_spark.operators.packing import global_row_ids
     verts = (
-        corners.select("x", "y", "z").dropDuplicates()
-        .withColumn("vid", F.row_number().over(Window.orderBy("x", "y", "z")))
+        global_row_ids(corners.select("x", "y", "z").dropDuplicates(),
+                       ["x", "y", "z"], out="vid")
         .select("vid", "x", "y", "z")
     )
     # connectivity rebuild: equi-join corners back to vertex ids
