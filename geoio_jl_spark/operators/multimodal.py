@@ -558,12 +558,22 @@ def image_neardup_pairs(df: DataFrame, col: str = "image",
             f"the pigeonhole completeness guarantee (got {bands})")
     if 64 % bands:
         raise ValueError("bands must divide 64")
-    width = 64 // bands
-    mask = (1 << width) - 1
     hashed = (image_hashes(df, col, kind, "h")
               .filter(F.col("h").isNotNull())
               .select(id_col, "h")
               .localCheckpoint(eager=False))
+    if max_hamming <= 7:
+        return _neardup_multiprobe(hashed, id_col, max_hamming)
+    return _neardup_singleprobe(hashed, id_col, max_hamming, bands)
+
+
+def _neardup_singleprobe(hashed: DataFrame, id_col: str,
+                         max_hamming: int, bands: int) -> DataFrame:
+    """bands × (64/bands)-bit exact-band buckets; candidate volume per
+    band grows as n²/2^width, so this is the fallback for wide radii
+    where the 4×16 multiprobe's pigeonhole (≤ 7) does not apply."""
+    width = 64 // bands
+    mask = (1 << width) - 1
     band_arr = F.array(*[
         F.shiftrightunsigned(F.col("h"), b * width).bitwiseAND(F.lit(mask))
         for b in range(bands)
@@ -581,8 +591,64 @@ def image_neardup_pairs(df: DataFrame, col: str = "image",
                       .bitwiseAND(F.lit(mask)) == 0)
         first_band = F.when(band_clean, F.lit(b)).otherwise(first_band)
     # conjunct order matters: the single-instruction popcount rejects
-    # ~all random band collisions before the 8-step first-band CASE
-    # chain ever runs (predicates evaluate left-to-right)
+    # ~all random band collisions before the first-band CASE chain
+    return (left.join(right, ["band", "val"])
+            .filter((F.col("id_a") < F.col("id_b"))
+                    & (F.bit_count(xor) <= max_hamming)
+                    & (F.col("band") == first_band))
+            .select("id_a", "id_b", F.bit_count(xor).alias("hamming")))
+
+
+_MP_BANDS, _MP_WIDTH = 4, 16
+
+
+def _neardup_multiprobe(hashed: DataFrame, id_col: str,
+                        max_hamming: int) -> DataFrame:
+    """4 × 16-bit bands with 1-bit probes (r8): hamming ≤ 7 over 4 bands
+    means SOME band carries ≤ 1 error (if every band had ≥ 2, the total
+    would be ≥ 8), and a 1-bit error is bridged by one side probing each
+    single-bit flip of its band value.  Candidate volume per band falls
+    from n²/2^8 (8-bit exact bands) to ~17·n²/2^16 — ~15× fewer at the
+    bench scale — because the bucket space is 256× larger and only the
+    ORIGINAL-value side is joined against the probe side.
+
+    Exactly-once emission without any distinct (proof):
+    * flip–flip matches are impossible — the left side carries original
+      band values only;
+    * a pair with band error e = 0 co-occupies only that band's original
+      bucket, where both sides are original → the ``id_a < id_b`` filter
+      keeps one of the two orderings;
+    * e = 1 gives exactly two co-buckets (each side's original value,
+      met by the other side's probe); they produce the two orderings of
+      the pair, and ``id_a < id_b`` again keeps exactly one;
+    * e ≥ 2 in a band cannot co-bucket with an original left entry;
+    * across bands, ``band == first band with popcount(segment) ≤ 1``
+      keeps a single band's emission."""
+    probes = []
+    for b in range(_MP_BANDS):
+        seg = (F.shiftrightunsigned(F.col("h"), b * _MP_WIDTH)
+               .bitwiseAND(F.lit((1 << _MP_WIDTH) - 1)))
+        probes.append(F.struct(F.lit(b).alias("band"), seg.alias("val"),
+                               F.lit(True).alias("orig")))
+        probes.extend(
+            F.struct(F.lit(b).alias("band"),
+                     seg.bitwiseXOR(F.lit(1 << k)).alias("val"),
+                     F.lit(False).alias("orig"))
+            for k in range(_MP_WIDTH))
+    allp = hashed.select(id_col, "h", F.explode(F.array(*probes)).alias("p"))
+    left = (allp.filter(F.col("p.orig"))
+            .select(F.col(id_col).alias("id_a"), F.col("h").alias("ha"),
+                    F.col("p.band").alias("band"), F.col("p.val").alias("val")))
+    right = allp.select(F.col(id_col).alias("id_b"), F.col("h").alias("hb"),
+                        F.col("p.band").alias("band"),
+                        F.col("p.val").alias("val"))
+    xor = F.col("ha").bitwiseXOR(F.col("hb"))
+    first_band = F.lit(None).cast("int")
+    for b in range(_MP_BANDS - 1, -1, -1):
+        seg_err = F.bit_count(
+            F.shiftrightunsigned(xor, b * _MP_WIDTH)
+            .bitwiseAND(F.lit((1 << _MP_WIDTH) - 1)))
+        first_band = F.when(seg_err <= 1, F.lit(b)).otherwise(first_band)
     return (left.join(right, ["band", "val"])
             .filter((F.col("id_a") < F.col("id_b"))
                     & (F.bit_count(xor) <= max_hamming)

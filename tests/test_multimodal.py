@@ -325,3 +325,35 @@ def test_gif_probe_matches_decode():
     m = gif.probe(buf)
     assert m == {"width": 5, "height": 7, "n_frames": 5}
     assert len(gif.decode_frames(buf)) == 5
+
+
+def test_neardup_multiprobe_equals_singleprobe(spark):
+    """r8: the 4x16 multiprobe candidate scheme must produce EXACTLY the
+    pairs of the exact-band single-probe scheme (both are complete for
+    hamming <= 7 by pigeonhole; this differentially pins the probe
+    bridging and the exactly-once emission predicates) on random hashes
+    with planted near-duplicate clusters."""
+    import numpy as np
+    from geoio_jl_spark.operators.multimodal import (_neardup_multiprobe,
+                                                     _neardup_singleprobe)
+    rng = np.random.default_rng(11)
+    base = rng.integers(-2**63, 2**63 - 1, 120, dtype=np.int64)
+    rows = []
+    vid = 0
+    for h in base:
+        rows.append((vid, int(h))); vid += 1
+        # planted near-dups at hamming 1..9 (some beyond the radius)
+        for d in (1, 3, 7, 9):
+            flip = int(h) & (2**64 - 1)
+            for k in rng.choice(64, d, replace=False):
+                flip ^= 1 << int(k)
+            if flip >= 2**63:          # back to signed int64
+                flip -= 2**64
+            rows.append((vid, flip)); vid += 1
+    hashed = spark.createDataFrame(rows, "doc_id bigint, h bigint")
+    mp = {(r["id_a"], r["id_b"], r["hamming"])
+          for r in _neardup_multiprobe(hashed, "doc_id", 7).collect()}
+    sp = {(r["id_a"], r["id_b"], r["hamming"])
+          for r in _neardup_singleprobe(hashed, "doc_id", 7, 8).collect()}
+    assert mp == sp
+    assert len(mp) > 100  # the planted clusters actually produced pairs
