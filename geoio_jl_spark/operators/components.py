@@ -63,9 +63,15 @@ def connected_components(edges: DataFrame, src: str = "rep",
     ``minhash_star_edges`` output the component id IS the keeper doc).
 
     Each round materializes via ``localCheckpoint`` (plan truncation —
-    iterative algorithms otherwise grow the logical plan exponentially)
-    and convergence is detected with one tiny aggregate per round
-    (count + order-insensitive hash of the edge multiset).
+    iterative algorithms otherwise grow the logical plan exponentially).
+    Convergence (r8): stop when the edge set is FLAT — no destination
+    (component rep) also appears as a source.  A flat edge set is a
+    fixpoint of the round map (the fixpoints of alternating
+    large-star/small-star are exactly the star decompositions, Kiveris
+    et al. §3; verified: both star steps map a flat e to itself), so
+    this terminates one full round earlier than the old
+    two-identical-signatures rule, replacing a whole
+    symmetrize→star→star pass with one semi-join probe.
     """
     e = (edges.select(F.col(src).cast("bigint").alias("u"),
                       F.col(dst).cast("bigint").alias("v"))
@@ -79,22 +85,18 @@ def connected_components(edges: DataFrame, src: str = "rep",
     if not e.take(1):
         return e.select(F.col("u").alias("node"),
                         F.col("v").alias("component"))
-    prev_sig = None
     for _ in range(max_iter):
-        e = _small_star(_symmetrize(_large_star(_symmetrize(e))))
-        # lazy checkpoint: the convergence aggregate below is the ONE
-        # action per round — it materializes the checkpoint as a side
-        # effect (eager=True would schedule a second job per round; at
-        # test scale rounds are pure scheduling overhead)
-        e = e.localCheckpoint(eager=False)
-        row = e.agg(
-            F.count("*").alias("n"),
-            # xor: order-insensitive set hash, no ANSI int64 overflow
-            F.expr("bit_xor(xxhash64(u, v))").alias("h")).collect()[0]
-        sig = (row["n"], row["h"])
-        if sig == prev_sig:
+        # lazy checkpoint FIRST so the flatness probe's two join sides
+        # read the materialized blocks instead of re-running the round
+        e = (_small_star(_symmetrize(_large_star(_symmetrize(e))))
+             .localCheckpoint(eager=False))
+        # the probe is the ONE action per round — it materializes the
+        # checkpoint as a side effect
+        chained = (e.alias("a").join(e.alias("b"),
+                                     F.col("a.v") == F.col("b.u"),
+                                     "left_semi"))
+        if not chained.take(1):
             break
-        prev_sig = sig
     else:
         raise RuntimeError(f"connected_components: no convergence in "
                            f"{max_iter} rounds")
